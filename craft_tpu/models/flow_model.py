@@ -1,0 +1,208 @@
+"""RAFT / CRAFT_nogma / CRAFT flow models (reference core/raft.py:24-146,
+core/craft_nogma.py:25-203, core/network.py:26-267).
+
+One flax module covers all three variants, driven by ModelConfig:
+  * arch='raft':        plain CorrBlock + BasicUpdateBlock
+  * arch='craft_nogma': TransCorrBlock (+global norm) + optional f2 transformer
+                        + BasicUpdateBlock  (the reference's one-way update API,
+                        fixing the latent arity bug at craft_nogma.py:165)
+  * arch='craft':       TransCorrBlock + f2/f1 transformer + GMA/SETrans
+                        attention + GMAUpdateBlock
+
+TPU-native design: the refinement loop is a lax.scan (nn.scan) with
+stop_gradient on coords each step (parity with coords1.detach(),
+network.py:232); the correlation volume is fp32 while conv/attention compute is
+bf16 under mixed precision (parity with the reference AMP islands,
+network.py:179-199).  Images are NHWC uint8-range floats.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from craft_tpu.config import ModelConfig
+from craft_tpu.nn.encoder import BasicEncoder
+from craft_tpu.nn.gma import Attention
+from craft_tpu.nn.setrans import (CrossAttFeatTrans, InputFeatEncoder,
+                                  SelfAttVisPosTrans)
+from craft_tpu.nn.update import BasicUpdateBlock, GMAUpdateBlock
+from craft_tpu.ops.corr import (CorrPyramid, all_pairs_correlation,
+                                build_pyramid, corr_lookup, plain_corr_pyramid)
+from craft_tpu.ops.geometry import convex_upsample, coords_grid
+
+
+class TransCorr(nn.Module):
+    """Cross-frame attentional correlation volume (reference corr.py:132-207).
+
+    Computes [B, U1, D, U2] fp32 scores via CrossAttFeatTrans with sliding
+    positional biases, globally layer-normed, ready for pyramid building.
+    """
+
+    cfg: ModelConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, fmap1, fmap2, fmap1o=None, fmap2o=None,
+                 deterministic: bool = True):
+        B, H, W, C = fmap1.shape
+        enc = InputFeatEncoder(self.cfg.inter, dtype=self.dtype,
+                               name="vispos_encoder")
+        setrans = CrossAttFeatTrans(self.cfg.inter, dtype=self.dtype,
+                                    name="setrans")
+
+        vispos1, pos_biases = enc(fmap1, deterministic=deterministic,
+                                  return_pos_biases=True)
+        vispos2 = enc(fmap2, deterministic=deterministic,
+                      return_pos_biases=False)
+
+        def one_way(v1, v2):
+            # [B, 1, U1, U2] mode-aggregated raw scores.
+            return setrans(v1, v2, pos_biases=pos_biases,
+                           deterministic=deterministic)
+
+        if fmap1o is not None and fmap2o is not None:
+            vispos1o = enc(fmap1o, deterministic=deterministic,
+                           return_pos_biases=False)
+            vispos2o = enc(fmap2o, deterministic=deterministic,
+                           return_pos_biases=False)
+            corr = jnp.concatenate(
+                [one_way(vispos1, vispos2o), one_way(vispos1o, vispos2)],
+                axis=1)  # [B, 2, U1, U2]
+        else:
+            corr = one_way(vispos1, vispos2)  # [B, 1, U1, U2]
+
+        # -> [B, U1, D, U2] fp32 for pyramid building.
+        return corr.transpose(0, 2, 1, 3).astype(jnp.float32)
+
+
+class FlowModel(nn.Module):
+    """Unified RAFT/CRAFT forward pass."""
+
+    cfg: ModelConfig
+    train: bool = False
+    freeze_bn: bool = False
+
+    @nn.compact
+    def __call__(self, image1, image2, iters: Optional[int] = None,
+                 flow_init=None):
+        """Estimate flow.  image1/image2: [B, H, W, 3] floats in [0, 255].
+
+        Returns (flow_lowres [B,H/8,W/8,2], flows_up [iters,B,H,W,2]).
+        """
+        cfg = self.cfg
+        iters = iters or cfg.iters
+        cdt = cfg.compute_dtype
+        bn_train = self.train and not self.freeze_bn
+        deterministic = not self.train
+
+        image1 = 2.0 * (image1 / 255.0) - 1.0
+        image2 = 2.0 * (image2 / 255.0) - 1.0
+
+        B, H, W, _ = image1.shape
+        H8, W8 = H // 8, W // 8
+        hdim, cdim = cfg.hidden_dim, cfg.context_dim
+
+        # --- feature network (batch-concat trick, extractor.py:173-196) ---
+        fnet = BasicEncoder(output_dim=256, norm_fn="instance",
+                            dropout=cfg.dropout, dtype=cdt, train=self.train,
+                            name="fnet")
+        fmaps = fnet(jnp.concatenate([image1, image2], axis=0))
+        fmap1, fmap2 = fmaps[:B], fmaps[B:]
+
+        fmap1o = fmap2o = None
+        if cfg.arch == "craft":
+            if cfg.f1trans != "none":
+                fmap1o = fmap1
+                if cfg.f1trans == "shared":
+                    f1_name = "f2_trans"
+                else:
+                    f1_name = "f1_trans"
+                fmap1 = SelfAttVisPosTrans(cfg.f2, dtype=cdt, name=f1_name)(
+                    fmap1, deterministic=deterministic)
+            if cfg.f2trans != "none":
+                fmap2o = fmap2
+                fmap2 = SelfAttVisPosTrans(cfg.f2, dtype=cdt, name="f2_trans")(
+                    fmap2, deterministic=deterministic)
+        elif cfg.arch == "craft_nogma" and cfg.f2trans != "none":
+            fmap2 = SelfAttVisPosTrans(cfg.f2, dtype=cdt, name="f2_trans")(
+                fmap2, deterministic=deterministic)
+
+        fmap1 = fmap1.astype(jnp.float32)
+        fmap2 = fmap2.astype(jnp.float32)
+        if fmap1o is not None:
+            fmap1o = fmap1o.astype(jnp.float32)
+            fmap2o = fmap2o.astype(jnp.float32)
+
+        # --- context network + attention ---
+        cnet = BasicEncoder(output_dim=hdim + cdim, norm_fn="batch",
+                            dropout=cfg.dropout, dtype=cdt, train=bn_train,
+                            name="cnet")
+        cnet_feat = cnet(image1)
+        net = jnp.tanh(cnet_feat[..., :hdim])
+        inp = nn.relu(cnet_feat[..., hdim:])
+
+        attention = None
+        if cfg.arch == "craft":
+            if cfg.use_setrans:
+                attention = SelfAttVisPosTrans(cfg.intra, dtype=cdt, name="att")(
+                    inp, deterministic=deterministic)  # [B, M, U, U] probs
+            else:
+                attention = Attention(
+                    dim=cdim, max_pos_size=cfg.gma_max_pos_size,
+                    heads=cfg.num_heads, dim_head=cdim,
+                    position_only=cfg.position_only,
+                    position_and_content=cfg.position_and_content,
+                    dtype=cdt, name="att")(inp)
+
+        # --- correlation volume (fp32 island) ---
+        if cfg.craft:
+            vol = TransCorr(cfg, dtype=cdt, name="corr_fn")(
+                fmap1, fmap2, fmap1o, fmap2o, deterministic=deterministic)
+            pyramid = build_pyramid(vol, B, H8, W8, cfg.corr_levels,
+                                    cfg.corr_radius, do_global_norm=True)
+        else:
+            pyramid = plain_corr_pyramid(fmap1, fmap2, cfg.corr_levels,
+                                         cfg.corr_radius)
+
+        # --- iterative refinement: lax.scan over the update block ---
+        coords0 = coords_grid(B, H8, W8)
+        coords1 = coords_grid(B, H8, W8)
+        if flow_init is not None:
+            coords1 = coords1 + flow_init
+
+        if cfg.arch == "craft":
+            update_block = GMAUpdateBlock(cfg, dtype=cdt, name="update_block")
+        else:
+            update_block = BasicUpdateBlock(cfg, dtype=cdt, name="update_block")
+
+        def step(mdl, carry, _):
+            net, coords1 = carry
+            coords1 = jax.lax.stop_gradient(coords1)
+            corr = corr_lookup(pyramid, coords1)
+            flow = coords1 - coords0
+            if cfg.arch == "craft":
+                net, up_mask, delta = update_block(
+                    net, inp, corr.astype(cdt), flow.astype(cdt), attention)
+            else:
+                net, up_mask, delta = update_block(
+                    net, inp, corr.astype(cdt), flow.astype(cdt))
+            coords1 = coords1 + delta.astype(jnp.float32)
+            flow_up = convex_upsample((coords1 - coords0),
+                                      up_mask.astype(jnp.float32))
+            return (net, coords1), flow_up
+
+        scan = nn.scan(step, variable_broadcast="params",
+                       split_rngs={"params": False, "dropout": False},
+                       length=iters)
+        (net, coords1), flows_up = scan(self, (net, coords1), None)
+
+        return coords1 - coords0, flows_up
+
+
+def create_model(cfg: ModelConfig, train: bool = False,
+                 freeze_bn: bool = False) -> FlowModel:
+    return FlowModel(cfg=cfg, train=train, freeze_bn=freeze_bn)

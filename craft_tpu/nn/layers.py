@@ -1,0 +1,182 @@
+"""Shared layer utilities: initializers with torch-parity statistics, norms.
+
+The reference relies on torch default inits (kaiming-uniform a=sqrt(5)) everywhere
+except the encoders (kaiming-normal fan_out; extractor.py:156-163) and the SETrans
+stack (normal 0.02; setrans.py:163-189).  Training-from-scratch parity needs the
+same init distributions, so we reproduce them here for flax.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _conv_fan_in(shape: Sequence[int]) -> int:
+    # flax conv kernel: (kh, kw, in, out); linear kernel: (in, out).
+    receptive = 1
+    for d in shape[:-2]:
+        receptive *= d
+    return shape[-2] * receptive
+
+
+def _conv_fan_out(shape: Sequence[int]) -> int:
+    receptive = 1
+    for d in shape[:-2]:
+        receptive *= d
+    return shape[-1] * receptive
+
+
+def torch_default_kernel_init(key, shape, dtype=jnp.float32):
+    """torch kaiming_uniform_(a=sqrt(5)): U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / math.sqrt(_conv_fan_in(shape))
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def make_torch_default_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+    return init
+
+
+def kaiming_normal_fanout_init(key, shape, dtype=jnp.float32):
+    """torch kaiming_normal_(mode='fan_out', nonlinearity='relu')."""
+    std = math.sqrt(2.0 / _conv_fan_out(shape))
+    return std * jax.random.normal(key, shape, dtype)
+
+
+def normal_init(std: float) -> Callable:
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+class Conv(nn.Module):
+    """2D conv on NHWC with torch-default init and optional encoder-style init."""
+
+    features: int
+    kernel: Sequence[int] = (3, 3)
+    stride: Sequence[int] = (1, 1)
+    padding: Any = "SAME_TORCH"  # symmetric padding matching torch padding=k//2
+    use_bias: bool = True
+    kernel_init: Optional[Callable] = None
+    dtype: Any = jnp.float32
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kh, kw = self.kernel
+        if self.padding == "SAME_TORCH":
+            padding = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+        elif self.padding == "VALID":
+            padding = ((0, 0), (0, 0))
+        else:
+            padding = self.padding
+        fan_in = (in_features // self.groups) * kh * kw
+        kinit = self.kernel_init or torch_default_kernel_init
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(kh, kw),
+            strides=tuple(self.stride),
+            padding=padding,
+            use_bias=self.use_bias,
+            feature_group_count=self.groups,
+            kernel_init=kinit,
+            bias_init=make_torch_default_bias_init(fan_in),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class Dense(nn.Module):
+    """Linear layer with torch-default or custom init."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Optional[Callable] = None
+    bias_init: Optional[Callable] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kinit = self.kernel_init or torch_default_kernel_init
+        binit = self.bias_init or make_torch_default_bias_init(in_features)
+        return nn.Dense(
+            features=self.features,
+            use_bias=self.use_bias,
+            kernel_init=kinit,
+            bias_init=binit,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class InstanceNorm(nn.Module):
+    """torch InstanceNorm2d(affine=False, track_running_stats=False) parity.
+
+    Per-sample, per-channel normalization over spatial dims.  NHWC.
+    """
+
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y.astype(self.dtype)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm over the trailing axis, eps 1e-12 by default (SETrans parity)."""
+
+    epsilon: float = 1e-12
+    use_affine: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        if self.use_affine:
+            dim = x.shape[-1]
+            scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+            y = y * scale + bias
+        return y.astype(self.dtype)
+
+
+def make_norm(norm_fn: str, features: int, train: bool, dtype=jnp.float32):
+    """Build the reference's norm zoo (extractor.py:16-38).
+
+    For 'batch', caller must run inside a flax module with a 'batch_stats'
+    collection; `train=False` (or frozen BN) uses running averages.
+    """
+    if norm_fn == "group":
+        return nn.GroupNorm(num_groups=features // 8, epsilon=1e-5, dtype=dtype,
+                            param_dtype=jnp.float32)
+    if norm_fn == "group8":
+        return nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=dtype,
+                            param_dtype=jnp.float32)
+    if norm_fn == "batch":
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, dtype=dtype, param_dtype=jnp.float32)
+    if norm_fn == "instance":
+        return InstanceNorm(dtype=dtype)
+    if norm_fn == "none":
+        return lambda x: x
+    raise ValueError(f"unknown norm_fn {norm_fn}")

@@ -1,0 +1,376 @@
+"""SETrans attention stack (reference core/setrans.py:71-800).
+
+Multi-mode squeeze-expansion transformer pieces used three ways in CRAFT:
+  * inter-frame attentional correlation (out_attn_scores_only),
+  * F2 semantic-smoothing self-attention (feature output, input skip, no FFN),
+  * intra-frame attention + motion aggregator (out_attn_probs_only +
+    ExpandedFeatTrans).
+
+TPU-native notes: the sliding positional bias is computed as a relative-offset
+gather (not the reference's scatter into a padded [H,W,H+2R,W+2R] buffer,
+setrans.py:690-708); attention clamping matches the reference's *conditional*
+clamp (only applied when the global max exceeds attn_clip, setrans.py:527-529);
+softmax/normalization accumulate in fp32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from craft_tpu.config import SETransSiteConfig
+from craft_tpu.nn.layers import Dense, LayerNorm, normal_init
+
+
+def sliding_pos_biases(biases: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """Expand the learnable (2R+1)^2 window into a dense [H*W, H*W] bias table.
+
+    pos[i*W+j, h2*W+w2] = biases[h2-i+R, w2-j+R] when both |h2-i|<=R and
+    |w2-j|<=R, else 0 — the same table the reference builds by scatter
+    (setrans.py:690-708), produced here with two clipped gathers.
+    """
+    R = (biases.shape[0] - 1) // 2
+    dh = jnp.arange(H)[None, :] - jnp.arange(H)[:, None]  # [i, h2] = h2 - i
+    dw = jnp.arange(W)[None, :] - jnp.arange(W)[:, None]
+    mh = (jnp.abs(dh) <= R)
+    mw = (jnp.abs(dw) <= R)
+    ih = jnp.clip(dh + R, 0, 2 * R)
+    iw = jnp.clip(dw + R, 0, 2 * R)
+    # table[i, h2, j, w2] = biases[ih[i,h2], iw[j,w2]]
+    table = biases[ih][:, :, iw]  # [H, H, W, W]
+    table = table * (mh[:, :, None, None] & mw[None, None, :, :])
+    # reorder to [i, j, h2, w2] then flatten query/key axes.
+    table = table.transpose(0, 2, 1, 3)
+    return table.reshape(H * W, H * W)
+
+
+class SlidingPosBiases2D(nn.Module):
+    """Learnable (2R+1)x(2R+1) relative position bias (reference setrans.py:644-708)."""
+
+    pos_bias_radius: int = 7
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, H: int, W: int):
+        R = self.pos_bias_radius
+        biases = self.param("biases", nn.initializers.zeros,
+                            (2 * R + 1, 2 * R + 1), jnp.float32)
+        return sliding_pos_biases(biases, H, W)
+
+
+class LearnedSinuPosEmbedder(nn.Module):
+    """pos_code_type='lsinu': Linear(2->C) -> interleaved sin/cos -> LayerNorm
+    (reference setrans.py:623-642)."""
+
+    pos_embed_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pos_normed):
+        p = Dense(self.pos_embed_dim, dtype=jnp.float32, name="pos_fc")(pos_normed)
+        s = jnp.sin(p[..., 0::2])
+        c = jnp.cos(p[..., 1::2])
+        mixed = jnp.stack([s, c], axis=-1).reshape(p.shape)
+        return LayerNorm(use_affine=False, name="norm")(mixed).astype(self.dtype)
+
+
+class InputFeatEncoder(nn.Module):
+    """Flatten NHWC -> [B, U, C] tokens with positional code handling
+    (reference SETransInputFeatEncoder, setrans.py:710-800).
+
+    For pos_code_type='bias' the positional signal is returned as additive
+    attention biases [U, U] instead of being mixed into the features (which are
+    just LayerNorm'd + dropout'd).
+    """
+
+    cfg: SETransSiteConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, vis_feat, deterministic: bool = True,
+                 return_pos_biases: bool = True):
+        B, H, W, C = vis_feat.shape
+        tokens = vis_feat.reshape(B, H * W, C)
+
+        pos_biases = None
+        if self.cfg.pos_code_type == "bias":
+            if return_pos_biases:
+                pos_biases = SlidingPosBiases2D(
+                    self.cfg.pos_bias_radius, name="pos_coder")(H, W)
+        else:
+            ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                                  jnp.arange(W, dtype=jnp.float32), indexing="ij")
+            coords = jnp.stack([ys, xs], axis=-1).reshape(1, H * W, 2)
+            coords = coords / jnp.maximum(coords.max(), 1.0)
+            if self.cfg.pos_code_type == "lsinu":
+                pos_embed = LearnedSinuPosEmbedder(C, self.dtype,
+                                                   name="pos_coder")(coords)
+            elif self.cfg.pos_code_type == "zero":
+                pos_embed = jnp.zeros((1, H * W, C), self.dtype)
+            else:
+                raise NotImplementedError(
+                    f"pos_code_type {self.cfg.pos_code_type}")
+            tokens = tokens + self.cfg.pos_code_weight * pos_embed
+
+        tokens = LayerNorm(use_affine=False, dtype=self.dtype,
+                           name="comb_norm")(tokens)
+        tokens = nn.Dropout(rate=self.cfg.hidden_dropout_prob)(
+            tokens, deterministic=deterministic)
+        if return_pos_biases:
+            return tokens, pos_biases
+        return tokens
+
+
+class LearnedSoftAggregate(nn.Module):
+    """Learned softmax pooling over the modes axis (reference setrans.py:279-300).
+
+    num_feat=1: per-element scalar score w*x+b; num_feat=C: linear score over the
+    trailing feature axis.  Aggregates over `group_dim` (the modes axis = 1).
+    """
+
+    num_feat: int
+    keepdim: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, score_basis=None):
+        if score_basis is None:
+            score_basis = x
+        if self.num_feat == 1:
+            scores = Dense(1, dtype=self.dtype, name="feat2score")(
+                score_basis[..., None])[..., 0]
+        else:
+            scores = Dense(1, dtype=self.dtype, name="feat2score")(score_basis)
+        probs = nn.softmax(scores.astype(jnp.float32), axis=1).astype(x.dtype)
+        out = jnp.sum(x * probs, axis=1, keepdims=self.keepdim)
+        return out
+
+
+def _first_linear_init(cfg: SETransSiteConfig):
+    """normal(0, 0.02) + identity bias on the first mode's block
+    (reference setrans.py:350-360): kernel[:F, :F] = kernel*0.5 + I*0.02*scale."""
+    base = cfg.base_initializer_range
+
+    def init(key, shape, dtype=jnp.float32):
+        w = base * jax.random.normal(key, shape, dtype)
+        if cfg.feattrans_lin1_idbias_scale > 0:
+            F = cfg.feat_dim
+            eye = jnp.eye(F, dtype=dtype) * base * cfg.feattrans_lin1_idbias_scale
+            block = w[:F, :F] * 0.5 + eye
+            w = w.at[:F, :F].set(block)
+        return w
+
+    return init
+
+
+def _key_init(cfg: SETransSiteConfig):
+    """normal(0, 0.02) + per-mode identity bias on the first mode's rows
+    (reference setrans.py:485-493), transposed to flax [in, out] layout."""
+    base = cfg.base_initializer_range
+
+    def init(key, shape, dtype=jnp.float32):
+        w = base * jax.random.normal(key, shape, dtype)
+        if cfg.query_idbias_scale > 0:
+            md = cfg.mode_dim
+            in_dim = shape[0]
+            reps = in_dim // md
+            eye_rep = jnp.tile(jnp.eye(md, dtype=dtype), (reps, 1)) \
+                * base * cfg.query_idbias_scale  # [in, md]
+            block = w[:, :md] * 0.5 + eye_rep
+            w = w.at[:, :md].set(block)
+        return w
+
+    return init
+
+
+class CrossAttFeatTrans(nn.Module):
+    """Multi-mode cross attention (reference setrans.py:412-566).
+
+    Three output modes:
+      * out_attn_scores_only -> mode-aggregated raw scores [B, 1, U1, U2]
+      * out_attn_probs_only  -> softmax probs [B, M, U1, U2]
+      * otherwise            -> features via ExpandedFeatTrans [B, U1, F]
+    """
+
+    cfg: SETransSiteConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, query_feat, key_feat=None, pos_biases=None,
+                 attention_mask=None, deterministic: bool = True):
+        cfg = self.cfg
+        if key_feat is None:
+            key_feat = query_feat
+        M, md = cfg.num_modes, cfg.mode_dim
+        B, U1, _ = query_feat.shape
+        U2 = key_feat.shape[1]
+
+        tied = cfg.tie_qk_scheme == "shared"
+        if tied:
+            # One parameter used for both projections (reference tie_qk,
+            # setrans.py:470-478: key.weight IS query.weight, and the identity
+            # bias applied to `key` mutates the shared tensor).
+            qk = Dense(M * md, use_bias=cfg.qk_have_bias,
+                       kernel_init=_key_init(cfg),
+                       bias_init=nn.initializers.zeros,
+                       dtype=self.dtype, name="query")
+            q = qk(query_feat)
+            k = qk(key_feat)
+        else:
+            q = Dense(M * md, use_bias=cfg.qk_have_bias,
+                      kernel_init=normal_init(cfg.base_initializer_range),
+                      bias_init=nn.initializers.zeros,
+                      dtype=self.dtype, name="query")(query_feat)
+            k = Dense(M * md, use_bias=cfg.qk_have_bias,
+                      kernel_init=_key_init(cfg),
+                      bias_init=nn.initializers.zeros,
+                      dtype=self.dtype, name="key")(key_feat)
+
+        q = q.reshape(B, U1, M, md).transpose(0, 2, 1, 3)
+        k = k.reshape(B, U2, M, md).transpose(0, 2, 1, 3)
+
+        scores = jnp.einsum("bmid,bmjd->bmij", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / math.sqrt(md)
+
+        # Conditional clamp: only rescales when the global max exceeds attn_clip
+        # (reference setrans.py:527-529).  jit-safe via where on the predicate.
+        max_attn = jnp.max(scores)
+        clipped = jnp.clip(scores, -cfg.attn_clip, cfg.attn_clip)
+        scores = jnp.where(max_attn > cfg.attn_clip, clipped, scores)
+
+        if pos_biases is not None:
+            scores = scores + cfg.pos_code_weight * \
+                pos_biases.astype(scores.dtype)
+        if attention_mask is not None:
+            scores = scores + attention_mask.astype(scores.dtype)
+
+        if cfg.out_attn_scores_only:
+            if M > 1:
+                scores = LearnedSoftAggregate(1, keepdim=True, dtype=jnp.float32,
+                                              name="attn_softaggr")(scores)
+            return scores
+
+        probs = nn.softmax(scores, axis=-1).astype(self.dtype)
+        probs = nn.Dropout(rate=cfg.attention_probs_dropout_prob)(
+            probs, deterministic=deterministic)
+
+        if cfg.out_attn_probs_only:
+            return probs
+
+        return ExpandedFeatTrans(cfg, dtype=self.dtype, name="out_trans")(
+            key_feat, probs, deterministic=deterministic)
+
+
+class ExpandedFeatTrans(nn.Module):
+    """Multi-mode value expansion + fusion + mode pooling (reference
+    setrans.py:304-410).  input_feat: [B, U2, C]; attention_probs: [B, M, U1, U2].
+    """
+
+    cfg: SETransSiteConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_feat, attention_probs, deterministic: bool = True):
+        cfg = self.cfg
+        B, U2, _ = input_feat.shape
+        M, F = cfg.num_modes, cfg.feat_dim
+        U1 = attention_probs.shape[2]
+
+        v = Dense(M * F, use_bias=cfg.v_has_bias,
+                  kernel_init=_first_linear_init(cfg),
+                  bias_init=nn.initializers.zeros,
+                  dtype=self.dtype, name="first_linear")(input_feat)
+        v = v.reshape(B, U2, M, F).transpose(0, 2, 1, 3)  # [B, M, U2, F]
+
+        fused = jnp.einsum("bmij,bmjf->bmif",
+                           attention_probs.astype(self.dtype), v)  # [B, M, U1, F]
+
+        if cfg.has_FFN:
+            # Shared mid linear + GELU, then private (grouped) output linear with
+            # residual + LayerNorm (reference setrans.py:193-276).
+            mid = Dense(F, kernel_init=normal_init(cfg.base_initializer_range),
+                        bias_init=nn.initializers.zeros, dtype=self.dtype,
+                        name="intermediate")(fused)
+            mid = nn.gelu(mid, approximate=False)
+            mid = nn.Dropout(rate=cfg.hidden_dropout_prob)(
+                mid, deterministic=deterministic)
+            if cfg.trans_output_type == "private":
+                # Per-mode private linear: einsum with a [M, F, F] kernel.
+                wk = self.param("output_kernel",
+                                normal_init(cfg.base_initializer_range),
+                                (M, F, F), jnp.float32)
+                wb = self.param("output_bias", nn.initializers.zeros,
+                                (M, F), jnp.float32)
+                out = jnp.einsum("bmif,mfg->bmig", mid, wk.astype(self.dtype)) \
+                    + wb[None, :, None, :].astype(self.dtype)
+                # NOTE reference MMPrivateOutput adds the residual then norms the
+                # *pre-residual* tensor (x, not x_comb — setrans.py:240 uses x);
+                # we follow the literal behavior: norm(dropout(x)).
+                out = nn.Dropout(rate=cfg.hidden_dropout_prob)(
+                    out, deterministic=deterministic)
+                fused = LayerNorm(name="resout_norm")(out)
+            else:
+                out = Dense(F, kernel_init=normal_init(cfg.base_initializer_range),
+                            bias_init=nn.initializers.zeros, dtype=self.dtype,
+                            name="output_shared")(mid)
+                out = out + fused
+                out = nn.Dropout(rate=cfg.hidden_dropout_prob)(
+                    out, deterministic=deterministic)
+                fused = LayerNorm(name="resout_norm")(out)
+
+        if cfg.pool_modes_feat == "softmax":
+            pooled = LearnedSoftAggregate(F, keepdim=False, dtype=self.dtype,
+                                          name="feat_softaggr")(fused)
+        elif cfg.pool_modes_feat == "max":
+            pooled = jnp.max(fused, axis=1)
+        elif cfg.pool_modes_feat == "mean":
+            pooled = jnp.mean(fused, axis=1)
+        else:
+            pooled = fused
+
+        if cfg.has_input_skip:
+            coeff = self.param("input_skip_coeff", nn.initializers.ones,
+                               (1,), jnp.float32)
+            pooled = coeff.astype(self.dtype) * input_feat + pooled
+            pooled = LayerNorm(use_affine=False, dtype=self.dtype,
+                               name="skip_layer_norm")(pooled)
+        return pooled
+
+
+class SelfAttVisPosTrans(nn.Module):
+    """Self-attention wrapper over an NCHW-style feature map (reference
+    setrans.py:568-619): vis+pos encode -> CrossAttFeatTrans self-attention ->
+    reshape back to NHWC (unless attention-only output)."""
+
+    cfg: SETransSiteConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        B, H, W, C = x.shape
+        cfg = self.cfg
+
+        attn_mask = None
+        if cfg.attn_mask_radius > 0:
+            ys, xs = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+            coords = jnp.stack([ys, xs], axis=-1).reshape(H * W, 2)
+            diff = jnp.abs(coords[None] - coords[:, None]).max(axis=-1)
+            attn_mask = jnp.where(diff > cfg.attn_mask_radius, -1e9, 0.0)
+            attn_mask = attn_mask[None, None].astype(jnp.float32)
+
+        tokens, pos_biases = InputFeatEncoder(cfg, dtype=self.dtype,
+                                              name="vispos_encoder")(
+            x, deterministic=deterministic, return_pos_biases=True)
+
+        out = CrossAttFeatTrans(cfg, dtype=self.dtype, name="setrans")(
+            tokens, pos_biases=pos_biases, attention_mask=attn_mask,
+            deterministic=deterministic)
+
+        if not cfg.out_attn_only:
+            out = out.reshape(B, H, W, C)
+        return out

@@ -1,0 +1,129 @@
+"""All-pairs correlation volume, pyramid, and windowed lookup.
+
+TPU-native redesign of the reference correlation engine (core/corr.py:16-207):
+the volume is built with one big MXU matmul, pooled into a 4-level pyramid, and the
+per-iteration (2r+1)^2-tap bilinear window lookup is a vectorized gather.  The
+fused Pallas lookup kernel lives in craft_tpu/ops/pallas/corr_lookup.py and is used
+automatically on TPU backends when shapes allow.
+
+Layout: feature maps are NHWC; pyramid level i is stored as
+[B*H1*W1, h2_i, w2_i, D] where D = 1 (one-way) or 2 (two-way f1+f2 correlation).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from craft_tpu.ops.geometry import avg_pool2x2, bilinear_sample
+
+
+class CorrPyramid(NamedTuple):
+    """Correlation pyramid + metadata, carried through the refinement scan."""
+    levels: tuple  # tuple of [B*H1*W1, h2_i, w2_i, D] arrays
+    batch: int
+    h1: int
+    w1: int
+    radius: int
+
+    def lookup(self, coords: jnp.ndarray) -> jnp.ndarray:
+        return corr_lookup(self, coords)
+
+
+def all_pairs_correlation(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray:
+    """[B, H1*W1, H2*W2] dot-product correlation scaled by 1/sqrt(dim)
+    (reference corr.py:73-81).  Inputs NHWC; computed in fp32 on the MXU."""
+    B, H, W, C = fmap1.shape
+    f1 = fmap1.reshape(B, H * W, C).astype(jnp.float32)
+    f2 = fmap2.reshape(B, H * W, C).astype(jnp.float32)
+    corr = jnp.einsum("bic,bjc->bij", f1, f2, preferred_element_type=jnp.float32)
+    return corr / jnp.sqrt(jnp.float32(C))
+
+
+def global_layer_norm(vol: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Layer-norm over the flattened (H1*W1*H2*W2) volume per (batch, dim) slice
+    (reference corr.py:27-30, 200-204).  vol: [B, D, N] with N the flat volume."""
+    mean = jnp.mean(vol, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(vol - mean), axis=-1, keepdims=True)
+    return (vol - mean) * jax.lax.rsqrt(var + eps)
+
+
+def build_pyramid(
+    corr: jnp.ndarray,
+    batch: int,
+    h1: int,
+    w1: int,
+    num_levels: int = 4,
+    radius: int = 4,
+    do_global_norm: bool = False,
+) -> CorrPyramid:
+    """Build the avg-pool-2 pyramid from a correlation volume.
+
+    Args:
+      corr: [B, H1*W1, D, H2*W2] (D=1 for plain corr; D=2 for two-way CRAFT corr).
+    """
+    B, U1, D, U2 = corr.shape
+    h2, w2 = h1, w1
+    assert U1 == h1 * w1 and U2 == h2 * w2
+
+    if do_global_norm:
+        # Normalize over (U1, U2) jointly per (batch, dim) as the reference does.
+        v = corr.transpose(0, 2, 1, 3).reshape(B, D, U1 * U2)
+        v = global_layer_norm(v)
+        corr = v.reshape(B, D, U1, U2).transpose(0, 2, 1, 3)
+
+    base = corr.reshape(B * U1, D, h2, w2).transpose(0, 2, 3, 1)  # [BU1, h2, w2, D]
+    levels = [base]
+    for _ in range(num_levels - 1):
+        levels.append(avg_pool2x2(levels[-1]))
+    return CorrPyramid(levels=tuple(levels), batch=batch, h1=h1, w1=w1, radius=radius)
+
+
+def plain_corr_pyramid(
+    fmap1: jnp.ndarray,
+    fmap2: jnp.ndarray,
+    num_levels: int = 4,
+    radius: int = 4,
+    do_global_norm: bool = False,
+) -> CorrPyramid:
+    """RAFT CorrBlock volume construction (reference corr.py:16-45)."""
+    B, H, W, _ = fmap1.shape
+    corr = all_pairs_correlation(fmap1, fmap2)[:, :, None, :]  # [B, U1, 1, U2]
+    return build_pyramid(corr, B, H, W, num_levels, radius, do_global_norm)
+
+
+def corr_lookup(pyr: CorrPyramid, coords: jnp.ndarray) -> jnp.ndarray:
+    """Windowed multi-scale lookup (reference corr.py:47-71).
+
+    Args:
+      coords: [B, H1, W1, 2] current coords1 in (x, y) order at 1/8 resolution.
+    Returns:
+      [B, H1, W1, L*D*(2r+1)^2] fp32 features.  Channel order matches the
+      reference exactly: level-major, then (D, dx-row, dy-col) — the reference
+      builds the window as meshgrid(dy, dx) added to (x, y) coords so the first
+      window axis offsets x and the second offsets y (corr.py:55-61).
+    """
+    r = pyr.radius
+    B, H1, W1, _ = coords.shape
+    n = 2 * r + 1
+    offs = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    # Window: axis 0 offsets x, axis 1 offsets y (see docstring).
+    ox, oy = jnp.meshgrid(offs, offs, indexing="ij")
+    delta = jnp.stack([ox, oy], axis=-1)  # [n, n, 2] (x-offset, y-offset)
+
+    flat_coords = coords.reshape(B * H1 * W1, 1, 1, 2)
+
+    out = []
+    for i, level in enumerate(pyr.levels):
+        centroid = flat_coords / (2.0 ** i)
+        window = centroid + delta[None]  # [BU1, n, n, 2]
+        # level: [BU1, h2, w2, D] -> sampled [BU1, n, n, D]
+        sampled = bilinear_sample(level, window)
+        D = level.shape[-1]
+        # Reference channel layout within a level: view(batch,h1,w1,-1) of
+        # [BU1, D, n, n] (NCHW) => order (D, wx, wy).
+        sampled = sampled.transpose(0, 3, 1, 2).reshape(B, H1, W1, D * n * n)
+        out.append(sampled)
+    return jnp.concatenate(out, axis=-1).astype(jnp.float32)
