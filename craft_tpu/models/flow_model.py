@@ -114,22 +114,23 @@ class FlowModel(nn.Module):
         fmap1, fmap2 = fmaps[:B], fmaps[B:]
 
         fmap1o = fmap2o = None
+        f2_module = None
+        if cfg.f2trans != "none":
+            f2_module = SelfAttVisPosTrans(cfg.f2, dtype=cdt, name="f2_trans")
         if cfg.arch == "craft":
             if cfg.f1trans != "none":
                 fmap1o = fmap1
                 if cfg.f1trans == "shared":
-                    f1_name = "f2_trans"
+                    f1_module = f2_module  # same params, applied twice
                 else:
-                    f1_name = "f1_trans"
-                fmap1 = SelfAttVisPosTrans(cfg.f2, dtype=cdt, name=f1_name)(
-                    fmap1, deterministic=deterministic)
-            if cfg.f2trans != "none":
+                    f1_module = SelfAttVisPosTrans(cfg.f2, dtype=cdt,
+                                                   name="f1_trans")
+                fmap1 = f1_module(fmap1, deterministic=deterministic)
+            if f2_module is not None:
                 fmap2o = fmap2
-                fmap2 = SelfAttVisPosTrans(cfg.f2, dtype=cdt, name="f2_trans")(
-                    fmap2, deterministic=deterministic)
-        elif cfg.arch == "craft_nogma" and cfg.f2trans != "none":
-            fmap2 = SelfAttVisPosTrans(cfg.f2, dtype=cdt, name="f2_trans")(
-                fmap2, deterministic=deterministic)
+                fmap2 = f2_module(fmap2, deterministic=deterministic)
+        elif cfg.arch == "craft_nogma" and f2_module is not None:
+            fmap2 = f2_module(fmap2, deterministic=deterministic)
 
         fmap1 = fmap1.astype(jnp.float32)
         fmap2 = fmap2.astype(jnp.float32)
