@@ -1,0 +1,124 @@
+"""Prefetching, shardable data loader — the TPU-native replacement for the
+reference's torch DataLoader + DistributedSampler (reference datasets.py:569-577,
+train_ddp.py semantics: per-process dataset shard, per-worker seeding, drop_last).
+
+Thread-pool prefetch: augmentation is numpy/cv2/PIL which release the GIL for
+the heavy parts; a background pool keeps the accelerator fed while the train
+step runs.  For multi-host, pass process_index/process_count to shard batches
+the way DistributedSampler does.
+"""
+
+from __future__ import annotations
+
+import queue
+import random as _random
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+def _collate(items):
+    out = {}
+    for k in items[0]:
+        if k == "extra_info":
+            out[k] = [it[k] for it in items]
+        else:
+            out[k] = np.stack([it[k] for it in items])
+    return out
+
+
+class ShardedLoader:
+    """Epoch-shuffled, sharded, prefetching batch iterator.
+
+    Parity notes: global shuffle with a per-epoch seed (DistributedSampler
+    (shuffle=True) semantics), per-process contiguous strided shard,
+    drop_last=True, worker threads seeded per (epoch, worker).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 num_workers: int = 2, drop_last: bool = True,
+                 process_index: int = 0, process_count: int = 1,
+                 seed: int = 1234, prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = process_count
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset) // self.process_count
+        return n // self.batch_size if self.drop_last else \
+            (n + self.batch_size - 1) // self.batch_size
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            idx = rng.permutation(n)
+        else:
+            idx = np.arange(n)
+        # DistributedSampler-style strided shard.
+        return idx[self.process_index::self.process_count]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        indices = self._epoch_indices()
+        nb = len(indices) // self.batch_size if self.drop_last else \
+            (len(indices) + self.batch_size - 1) // self.batch_size
+        batches = [indices[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(nb)]
+
+        work_q: "queue.Queue" = queue.Queue()
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        for bi, b in enumerate(batches):
+            work_q.put((bi, b))
+        results = {}
+        next_emit = [0]
+        lock = threading.Lock()
+        stop = threading.Event()
+
+        def worker(wid):
+            # Per-worker seeding (reference datasets.py:69-75 analog).
+            np.random.seed((self.seed + self.epoch * 1000 + wid) % (2 ** 31))
+            _random.seed(self.seed + self.epoch * 1000 + wid)
+            while not stop.is_set():
+                try:
+                    bi, b = work_q.get_nowait()
+                except queue.Empty:
+                    return
+                batch = _collate([self.dataset[int(i)] for i in b])
+                # Emit in order.
+                while not stop.is_set():
+                    with lock:
+                        if next_emit[0] == bi:
+                            out_q.put(batch)
+                            next_emit[0] += 1
+                            break
+                    stop.wait(0.005)
+
+        threads = [threading.Thread(target=worker, args=(w,), daemon=True)
+                   for w in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        try:
+            for _ in range(nb):
+                yield out_q.get()
+        finally:
+            stop.set()
+        self.epoch += 1
+
+
+class InfiniteLoader:
+    """Wraps ShardedLoader to iterate forever (training-step driven)."""
+
+    def __init__(self, loader: ShardedLoader):
+        self.loader = loader
+
+    def __iter__(self):
+        while True:
+            yield from self.loader

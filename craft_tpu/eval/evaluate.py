@@ -1,0 +1,286 @@
+"""Validation suite (reference evaluate.py:106-1239).
+
+Per-dataset validate_* functions with the reference protocols: mod-8 padding
+(sintel-centred vs kitti-bottom), test_mode 1 (final flow) or 2 (per-iteration
+metric curves), magnitude-bucketed EPE [0,1,10,20,30,inf), KITTI F1-all
+(epe>3 AND epe/mag>0.05), the shift-robustness protocol, and max_val_count
+truncation.
+
+TPU notes: one jitted forward per padded shape (shape-bucketed compile cache);
+metrics are accumulated on host in numpy to match the reference's statistics
+exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from craft_tpu.config import ModelConfig
+from craft_tpu.models.flow_model import FlowModel
+from craft_tpu.ops.geometry import InputPadder, shift_pixels
+from craft_tpu.data import datasets as ds
+
+MAG_ENDPOINTS = [1, 10, 20, 30, np.inf]
+
+
+class Evaluator:
+    """Shape-bucketed jitted forward for evaluation."""
+
+    def __init__(self, cfg: ModelConfig, variables, iters: int = 12,
+                 test_mode: int = 1):
+        import jax
+
+        self.cfg = cfg
+        self.variables = variables
+        self.iters = iters
+        self.test_mode = test_mode
+        model = FlowModel(cfg=cfg, train=False)
+
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def _forward(variables, image1, image2, iters):
+            lowres, flows = model.apply(variables, image1, image2, iters=iters)
+            return lowres, flows
+
+        self._forward = _forward
+
+    def __call__(self, image1: np.ndarray, image2: np.ndarray,
+                 flow_init=None) -> Tuple[np.ndarray, List[np.ndarray]]:
+        """image1/2: [B, H, W, 3] float32 in [0, 255] (already padded).
+
+        Returns (flow_lowres, list of per-iteration upsampled flows) — the list
+        has one entry for test_mode=1, `iters` entries for test_mode=2.
+        """
+        import jax.numpy as jnp
+
+        lowres, flows = self._forward(self.variables, jnp.asarray(image1),
+                                      jnp.asarray(image2), iters=self.iters)
+        flows = np.asarray(flows)
+        if self.test_mode == 1:
+            return np.asarray(lowres), [flows[-1]]
+        return np.asarray(lowres), [flows[i] for i in range(flows.shape[0])]
+
+
+def _mag_bucket_stats(epe_all: np.ndarray, mag_all: np.ndarray) -> Dict:
+    out = {}
+    prev = 0
+    for end in MAG_ENDPOINTS:
+        sel = (mag_all >= prev) & (mag_all < end)
+        out[f"mag_{prev}_{end}"] = float(epe_all[sel].mean()) if sel.any() else 0.0
+        prev = end
+    return out
+
+
+def _iter_pairs(dataset, max_val_count=-1):
+    n = len(dataset)
+    if max_val_count > 0:
+        n = min(n, max_val_count)
+    for i in range(n):
+        yield dataset[i]
+
+
+def validate_chairs(cfg, variables, iters=12, data_root="datasets",
+                    xy_shift=None, max_val_count=-1) -> Dict[str, float]:
+    """FlyingChairs validation split EPE (reference evaluate.py:247-280)."""
+    evaluator = Evaluator(cfg, variables, iters=iters)
+    dataset = ds.FlyingChairs(
+        split="validation", root=f"{data_root}/FlyingChairs_release/data",
+        split_file=f"{data_root}/FlyingChairs_release/FlyingChairs_train_val.txt")
+    epe_list = []
+    for item in _iter_pairs(dataset, max_val_count):
+        img1, img2, gt = item["image1"], item["image2"], item["flow"]
+        mask = np.ones(gt.shape[:2], bool)
+        if xy_shift is not None and xy_shift != (0, 0):
+            img1, gt, mask = shift_pixels(img1, gt, None, *xy_shift)
+            mask = mask.astype(bool)
+        # Chairs is 384x512 — already mod 8.
+        _, flows = evaluator(img1[None], img2[None])
+        epe = np.sqrt(((flows[-1][0] - gt) ** 2).sum(-1))[mask]
+        epe_list.append(epe.reshape(-1))
+    epe = float(np.concatenate(epe_list).mean())
+    print(f"Validation Chairs EPE: {epe:.6f}")
+    return {"chairs_epe": epe}
+
+
+def _validate_dense(cfg, variables, dataset, name, iters=12, xy_shift=None,
+                    max_val_count=-1, pad_mode="sintel") -> Dict[str, float]:
+    """Shared dense-GT validation loop (sintel/things/slowflow pattern,
+    reference evaluate.py:444-602)."""
+    evaluator = Evaluator(cfg, variables, iters=iters)
+    epe_list, mag_list = [], []
+    off = np.array(xy_shift, np.float32) if xy_shift else np.zeros(2, np.float32)
+    for item in _iter_pairs(dataset, max_val_count):
+        img1, img2, gt = item["image1"], item["image2"], item["flow"]
+        mask = np.ones(gt.shape[:2], bool)
+        if xy_shift is not None and tuple(xy_shift) != (0, 0):
+            img1, gt, mask = shift_pixels(img1, gt, None, *xy_shift)
+            mask = mask.astype(bool)
+        padder = InputPadder((1,) + img1.shape, mode=pad_mode)
+        p1, p2 = padder.pad(*[np.asarray(x)[None] for x in (img1, img2)])
+        _, flows = evaluator(np.asarray(p1), np.asarray(p2))
+        flow = np.asarray(padder.unpad(flows[-1]))[0]
+        epe = np.sqrt(((flow - gt) ** 2).sum(-1))[mask]
+        mag = np.sqrt(((gt + off) ** 2).sum(-1))[mask]
+        epe_list.append(epe.reshape(-1))
+        mag_list.append(mag.reshape(-1))
+    epe_all = np.concatenate(epe_list)
+    mag_all = np.concatenate(mag_list)
+    res = {
+        f"{name}_epe": float(epe_all.mean()),
+        f"{name}_1px": float((epe_all < 1).mean()),
+        f"{name}_3px": float((epe_all < 3).mean()),
+        f"{name}_5px": float((epe_all < 5).mean()),
+    }
+    res.update({f"{name}_{k}": v
+                for k, v in _mag_bucket_stats(epe_all, mag_all).items()})
+    print(f"Validation ({name}) EPE: {res[f'{name}_epe']:.6f}, "
+          f"1px: {res[f'{name}_1px']:.4f}, 3px: {res[f'{name}_3px']:.4f}, "
+          f"5px: {res[f'{name}_5px']:.4f}")
+    return res
+
+
+def validate_sintel(cfg, variables, iters=12, data_root="datasets",
+                    dstype="both", xy_shift=None,
+                    max_val_count=-1) -> Dict[str, float]:
+    dstypes = ["clean", "final"] if dstype == "both" else [dstype]
+    results = {}
+    for dt in dstypes:
+        dataset = ds.MpiSintel(split="training", dstype=dt,
+                               root=f"{data_root}/Sintel")
+        results.update(_validate_dense(cfg, variables, dataset, f"sintel_{dt}",
+                                       iters, xy_shift, max_val_count))
+    return results
+
+
+def validate_things(cfg, variables, iters=12, data_root="datasets",
+                    dstype="both", xy_shift=None,
+                    max_val_count=-1) -> Dict[str, float]:
+    type_map = {"clean": "frames_cleanpass", "final": "frames_finalpass"}
+    dstypes = ["clean", "final"] if dstype == "both" else [dstype]
+    results = {}
+    for dt in dstypes:
+        dataset = ds.FlyingThings3D(
+            split="validation", dstype=type_map[dt],
+            root=f"{data_root}/FlyingThings3D",
+            val_filter_file=f"{data_root}/things_val_test_set.txt")
+        results.update(_validate_dense(cfg, variables, dataset, f"things_{dt}",
+                                       iters, xy_shift, max_val_count))
+    return results
+
+
+def validate_slowflow(cfg, variables, iters=12, data_root="datasets",
+                      blur_mag=100, blur_num_frames=0, xy_shift=None,
+                      max_val_count=-1) -> Dict[str, float]:
+    dataset = ds.SlowFlow(root=f"{data_root}/slowflow/", blur_mag=blur_mag,
+                          blur_num_frames=blur_num_frames)
+    return _validate_dense(cfg, variables, dataset, "slowflow", iters,
+                           xy_shift, max_val_count)
+
+
+def _validate_sparse(cfg, variables, dataset, name, iters=12, xy_shift=None,
+                     max_val_count=-1) -> Dict[str, float]:
+    """Sparse-GT validation with F1-all (reference evaluate.py:770-900:
+    out = (epe > 3) & (epe / mag > 0.05), over valid pixels)."""
+    evaluator = Evaluator(cfg, variables, iters=iters)
+    epe_list, out_list = [], []
+    off = np.array(xy_shift, np.float32) if xy_shift else np.zeros(2, np.float32)
+    for item in _iter_pairs(dataset, max_val_count):
+        img1, img2 = item["image1"], item["image2"]
+        gt, valid = item["flow"], item["valid"]
+        mask = np.ones(gt.shape[:2], bool)
+        if xy_shift is not None and tuple(xy_shift) != (0, 0):
+            img1, gt, mask = shift_pixels(img1, gt, None, *xy_shift)
+            mask = mask.astype(bool)
+            valid = valid * mask
+        padder = InputPadder((1,) + img1.shape, mode="kitti")
+        p1, p2 = padder.pad(*[np.asarray(x)[None] for x in (img1, img2)])
+        _, flows = evaluator(np.asarray(p1), np.asarray(p2))
+        flow = np.asarray(padder.unpad(flows[-1]))[0]
+        epe = np.sqrt(((flow - gt) ** 2).sum(-1)).reshape(-1)
+        mag = np.sqrt(((gt + off) ** 2).sum(-1)).reshape(-1)
+        val = valid.reshape(-1) >= 0.5
+        out = ((epe > 3.0) & ((epe / np.maximum(mag, 1e-12)) > 0.05))
+        epe_list.append(epe[val])
+        out_list.append(out[val].astype(np.float32))
+    epe_all = np.concatenate(epe_list)
+    out_all = np.concatenate(out_list)
+    res = {f"{name}_epe": float(epe_all.mean()),
+           f"{name}_f1": float(100 * out_all.mean())}
+    print(f"Validation {name}: EPE {res[f'{name}_epe']:.6f}, "
+          f"F1-all {res[f'{name}_f1']:.4f}%")
+    return res
+
+
+def validate_kitti(cfg, variables, iters=12, data_root="datasets",
+                   use_kitti_train=False, xy_shift=None,
+                   max_val_count=-1) -> Dict[str, float]:
+    if use_kitti_train:
+        dataset = ds.KITTITrain(split="validation", root=f"{data_root}/KITTI")
+        name = "kittitrain"
+    else:
+        dataset = ds.KITTI(split="training", root=f"{data_root}/KITTI")
+        name = "kitti"
+    return _validate_sparse(cfg, variables, dataset, name, iters, xy_shift,
+                            max_val_count)
+
+
+def validate_hd1k(cfg, variables, iters=12, data_root="datasets",
+                  xy_shift=None, max_val_count=-1) -> Dict[str, float]:
+    dataset = ds.HD1K(root=f"{data_root}/HD1k")
+    return _validate_sparse(cfg, variables, dataset, "hd1k", iters, xy_shift,
+                            max_val_count)
+
+
+def validate_viper(cfg, variables, iters=12, data_root="datasets",
+                   scale=0.5, xy_shift=None, max_val_count=-1
+                   ) -> Dict[str, float]:
+    """VIPER at half resolution with flow rescaling (reference
+    evaluate.py:199-245, 1050-1160)."""
+    import cv2
+
+    evaluator = Evaluator(cfg, variables, iters=iters)
+    dataset = ds.VIPER(split="validation", root=f"{data_root}/viper/")
+    epe_list, out_list = [], []
+    for item in _iter_pairs(dataset, max_val_count):
+        img1, img2 = item["image1"], item["image2"]
+        gt, valid = item["flow"], item["valid"]
+        if scale != 1.0:
+            img1 = cv2.resize(img1, None, fx=scale, fy=scale,
+                              interpolation=cv2.INTER_LINEAR)
+            img2 = cv2.resize(img2, None, fx=scale, fy=scale,
+                              interpolation=cv2.INTER_LINEAR)
+        padder = InputPadder((1,) + img1.shape, mode="kitti")
+        p1, p2 = padder.pad(*[np.asarray(x)[None] for x in (img1, img2)])
+        _, flows = evaluator(np.asarray(p1), np.asarray(p2))
+        flow = np.asarray(padder.unpad(flows[-1]))[0]
+        if scale != 1.0:
+            # Upscale flow back to full res and rescale vectors.
+            flow = cv2.resize(flow, (gt.shape[1], gt.shape[0]),
+                              interpolation=cv2.INTER_LINEAR) / scale
+        epe = np.sqrt(((flow - gt) ** 2).sum(-1)).reshape(-1)
+        mag = np.sqrt((gt ** 2).sum(-1)).reshape(-1)
+        val = valid.reshape(-1) >= 0.5
+        out = ((epe > 3.0) & ((epe / np.maximum(mag, 1e-12)) > 0.05))
+        epe_list.append(epe[val])
+        out_list.append(out[val].astype(np.float32))
+    epe_all = np.concatenate(epe_list)
+    out_all = np.concatenate(out_list)
+    res = {"viper_epe": float(epe_all.mean()),
+           "viper_f1": float(100 * out_all.mean())}
+    print(f"Validation VIPER: EPE {res['viper_epe']:.6f}, "
+          f"F1-all {res['viper_f1']:.4f}%")
+    return res
+
+
+VALIDATORS = {
+    "chairs": validate_chairs,
+    "things": validate_things,
+    "sintel": validate_sintel,
+    "kitti": validate_kitti,
+    "kittitrain": lambda *a, **k: validate_kitti(*a, use_kitti_train=True, **k),
+    "hd1k": validate_hd1k,
+    "viper": validate_viper,
+    "slowflow": validate_slowflow,
+}

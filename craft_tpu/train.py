@@ -1,0 +1,191 @@
+"""Training CLI (reference train.py + train_ddp.py folded into one pjit
+trainer; reference train.py:177-254, train_ddp.py:185-280).
+
+Single program covers single-chip and multi-chip: the batch is sharded over a
+'data' mesh of all local (and, with jax.distributed, global) devices; params
+are replicated; XLA inserts the gradient all-reduce (DDP parity, no NCCL).
+
+Example (chairs stage, mirrors train-craft-f2full.sh):
+  python -m craft_tpu.train --name craft-chairs --stage chairs --craft \
+      --setrans --f2 full --mixed_precision --lr 2.5e-4 --num_steps 120000 \
+      --image_size 368 496 --batch_size 8 --val_freq 20000
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from craft_tpu.cli import add_model_args, model_config_from_args
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--name", default="craft")
+    p.add_argument("--stage", required=True,
+                   choices=["chairs", "things", "sintel", "kitti",
+                            "kittitrain", "viper", "autoflow"])
+    add_model_args(p)
+    p.add_argument("--validation", type=str, nargs="+", default=[])
+    p.add_argument("--restore_ckpt", default=None)
+    p.add_argument("--loadopt", dest="load_optimizer_state",
+                   action="store_true")
+    p.add_argument("--loadsched", dest="load_scheduler_state",
+                   action="store_true")
+    p.add_argument("--output", type=str, default="checkpoints")
+    p.add_argument("--lr", type=float, default=0.00002)
+    p.add_argument("--num_steps", type=int, default=100000)
+    p.add_argument("--batch_size", type=int, default=6,
+                   help="per-process batch (global = batch * n_processes, "
+                        "DDP parity)")
+    p.add_argument("--workers", dest="num_workers", type=int, default=4)
+    p.add_argument("--image_size", type=int, nargs="+", default=[384, 512])
+    p.add_argument("--wdecay", type=float, default=0.00005)
+    p.add_argument("--epsilon", type=float, default=1e-8)
+    p.add_argument("--clip", type=float, default=1.0)
+    p.add_argument("--gamma", type=float, default=0.8)
+    p.add_argument("--add_noise", action="store_true")
+    p.add_argument("--shiftprob", dest="shift_aug_prob", type=float,
+                   default=0.0)
+    p.add_argument("--shiftsigmas", dest="shift_sigmas", default="16,10",
+                   type=str)
+    p.add_argument("--freeze_bn", action="store_true")
+    p.add_argument("--val_freq", type=int, default=10000)
+    p.add_argument("--print_freq", type=int, default=100)
+    p.add_argument("--data_root", type=str, default="datasets")
+    p.add_argument("--seed", type=int, default=1234)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    args.shift_sigmas = tuple(int(s) for s in args.shift_sigmas.split(","))
+    os.makedirs(args.output, exist_ok=True)
+
+    from craft_tpu.utils.jax_setup import setup_jax
+    jax = setup_jax()
+    import jax.numpy as jnp
+
+    from craft_tpu.data.datasets import fetch_training_dataset
+    from craft_tpu.data.loader import InfiniteLoader, ShardedLoader
+    from craft_tpu.parallel.mesh import (batch_sharding, initialize_distributed,
+                                         make_data_mesh, replicate_state,
+                                         shard_batch)
+    from craft_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+    from craft_tpu.training.logger import Logger
+    from craft_tpu.training.optim import onecycle_linear
+    from craft_tpu.training.train_step import (create_train_state,
+                                               make_train_step)
+
+    initialize_distributed()
+    cfg = model_config_from_args(args)
+
+    np.random.seed(args.seed)
+    rng = jax.random.PRNGKey(args.seed)
+
+    # Freeze BN on every stage after chairs (reference train.py:198-199).
+    freeze_bn = args.freeze_bn and args.stage != "chairs"
+
+    state, tx, schedule = create_train_state(
+        cfg, rng, image_shape=tuple(args.image_size), lr=args.lr,
+        num_steps=args.num_steps, wdecay=args.wdecay, epsilon=args.epsilon,
+        clip=args.clip)
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    print(f"Parameter Count: {n_params}")
+
+    logger = Logger(args.num_steps, args.print_freq, args.output)
+    if args.restore_ckpt:
+        state, logger_state = load_checkpoint(
+            args.restore_ckpt, state,
+            load_optimizer_state=args.load_optimizer_state,
+            load_logger=args.load_scheduler_state)
+        if logger_state:
+            logger.load_state_dict(logger_state)
+
+    train_step = make_train_step(cfg, tx, iters=args.iters, gamma=args.gamma,
+                                 freeze_bn=freeze_bn)
+    train_step = jax.jit(train_step, donate_argnums=(0,))
+
+    dataset = fetch_training_dataset(
+        args.stage, tuple(args.image_size), shift_prob=args.shift_aug_prob,
+        shift_sigmas=args.shift_sigmas, data_root=args.data_root)
+    print(f"Training with {len(dataset)} image pairs")
+
+    mesh = make_data_mesh()
+    n_dev = len(jax.devices())
+    # Per-process batch stays --batch_size; it shards across local devices.
+    assert args.batch_size % n_dev == 0 or n_dev == 1, (
+        f"batch_size {args.batch_size} not divisible by {n_dev} devices")
+    loader = ShardedLoader(dataset, args.batch_size,
+                           num_workers=args.num_workers,
+                           process_index=jax.process_index(),
+                           process_count=jax.process_count(),
+                           seed=args.seed)
+
+    state = replicate_state(mesh, state)
+    step_rng = jax.random.PRNGKey(args.seed + 7)
+
+    is_main = jax.process_index() == 0
+    noise_rng = np.random.RandomState(args.seed + 13)
+    t_prev = time.time()
+    for batch in InfiniteLoader(loader):
+        if args.add_noise:
+            stdv = noise_rng.uniform(0.0, 5.0)
+            for k in ("image1", "image2"):
+                batch[k] = np.clip(
+                    batch[k] + stdv * noise_rng.randn(*batch[k].shape),
+                    0.0, 255.0).astype(np.float32)
+        batch.pop("extra_info", None)
+        batch = shard_batch(mesh, batch)
+        state, metrics = train_step(state, batch, step_rng)
+        metrics = jax.device_get(metrics)
+        t_now = time.time()
+        metrics["time"] = t_now - t_prev
+        t_prev = t_now
+        step = int(state.step)
+        if is_main:
+            logger.push(metrics, float(schedule(step)))
+
+        if step % args.val_freq == args.val_freq - 1 and is_main:
+            path = os.path.join(args.output, f"{step + 1}_{args.name}")
+            save_checkpoint(path, jax.device_get(state), logger.state_dict())
+            _run_validation(args, cfg, state, logger)
+            logger.plot_train()
+            logger.plot_val()
+
+        if step >= args.num_steps:
+            break
+
+    if is_main:
+        path = os.path.join(args.output, args.name)
+        save_checkpoint(path, jax.device_get(state), logger.state_dict())
+        logger.plot_train()
+        logger.plot_val()
+
+
+def _run_validation(args, cfg, state, logger):
+    from craft_tpu.eval.evaluate import VALIDATORS
+    import jax
+
+    variables = {"params": jax.device_get(state.params)}
+    if state.batch_stats:
+        variables["batch_stats"] = jax.device_get(state.batch_stats)
+    results = {}
+    for name in args.validation:
+        fn = VALIDATORS.get(name)
+        if fn is None:
+            print(f"unknown validation set {name}")
+            continue
+        try:
+            results.update(fn(cfg, variables, iters=args.iters,
+                              data_root=args.data_root))
+        except FileNotFoundError as e:
+            print(f"validation {name} skipped: {e}")
+    logger.push_validation(results)
+
+
+if __name__ == "__main__":
+    main()

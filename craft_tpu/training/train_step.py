@@ -1,0 +1,96 @@
+"""The jitted data-parallel training step (reference train.py:213-254 semantics).
+
+State = params + batch_stats + optimizer state.  The step:
+  forward (12-iteration refinement) -> sequence loss -> grad -> global-norm
+  clip -> AdamW update, all inside one jit; with the batch sharded over the
+  'data' mesh axis and params replicated, XLA inserts the gradient all-reduce
+  over ICI (DDP parity without NCCL).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from craft_tpu.config import ModelConfig
+from craft_tpu.models.flow_model import FlowModel
+from craft_tpu.training.loss import sequence_loss
+from craft_tpu.training.optim import make_optimizer
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(cfg: ModelConfig, rng, image_shape=(368, 496),
+                       lr: float = 2.5e-4, num_steps: int = 100000,
+                       wdecay: float = 5e-5, epsilon: float = 1e-8,
+                       clip: float = 1.0) -> Tuple[TrainState, Any, Any]:
+    """Initialize model + optimizer.  Returns (state, tx, schedule)."""
+    model = FlowModel(cfg=cfg, train=False)
+    H, W = image_shape
+    dummy = jnp.zeros((1, H, W, 3), jnp.float32)
+    variables = model.init(rng, dummy, dummy, iters=1)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    tx, schedule = make_optimizer(lr, num_steps, wdecay, epsilon, clip)
+    opt_state = tx.init(params)
+    return (TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=batch_stats, opt_state=opt_state),
+            tx, schedule)
+
+
+def make_train_step(cfg: ModelConfig, tx, iters: int = 12, gamma: float = 0.8,
+                    freeze_bn: bool = False):
+    """Build the jittable train step fn(state, batch, rng) -> (state, metrics).
+
+    batch: dict(image1 [B,H,W,3], image2, flow [B,H,W,2], valid [B,H,W]).
+    """
+    model = FlowModel(cfg=cfg, train=True, freeze_bn=freeze_bn)
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params}
+        mutable = []
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            if not freeze_bn:
+                mutable = ["batch_stats"]
+        if mutable:
+            (lowres, flows), updates = model.apply(
+                variables, batch["image1"], batch["image2"], iters=iters,
+                rngs={"dropout": rng}, mutable=mutable)
+            new_stats = updates.get("batch_stats", batch_stats)
+        else:
+            lowres, flows = model.apply(
+                variables, batch["image1"], batch["image2"], iters=iters,
+                rngs={"dropout": rng})
+            new_stats = batch_stats
+        loss, metrics = sequence_loss(flows.astype(jnp.float32),
+                                      batch["flow"], batch["valid"], gamma)
+        return loss, (metrics, new_stats)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+        rng = jax.random.fold_in(rng, state.step)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (metrics, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(step=state.step + 1, params=new_params,
+                          batch_stats=new_stats,
+                          opt_state=new_opt_state), metrics
+
+    return train_step
