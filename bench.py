@@ -24,7 +24,8 @@ TARGET_FPS = 10.0  # 3x the ~3.3 fps A100 torch estimate (see docstring)
 
 
 def main():
-    import jax
+    from craft_tpu.utils.jax_setup import setup_jax
+    jax = setup_jax()
     import jax.numpy as jnp
     import numpy as np
 

@@ -75,6 +75,9 @@ class TransCorr(nn.Module):
         else:
             corr = one_way(vispos1, vispos2)  # [B, 1, U1, U2]
 
+        # Correlation dump hook (reference SAVECORR env hook, corr.py:180-184):
+        # captured via apply(..., mutable=['intermediates']).
+        self.sow("intermediates", "corr_volume", corr)
         # -> [B, U1, D, U2] fp32 for pyramid building.
         return corr.transpose(0, 2, 1, 3).astype(jnp.float32)
 

@@ -110,7 +110,17 @@ class InputFeatEncoder(nn.Module):
                 pos_embed = LearnedSinuPosEmbedder(C, self.dtype,
                                                    name="pos_coder")(coords)
             elif self.cfg.pos_code_type == "zero":
-                pos_embed = jnp.zeros((1, H * W, C), self.dtype)
+                from craft_tpu.nn.setrans_ablation import ZeroEmbedder
+                pos_embed = ZeroEmbedder(C, self.dtype,
+                                         name="pos_coder")(coords)
+            elif self.cfg.pos_code_type == "rand":
+                from craft_tpu.nn.setrans_ablation import RandPosEmbedder
+                pos_embed = RandPosEmbedder(C, (H, W), self.dtype,
+                                            name="pos_coder")(coords)
+            elif self.cfg.pos_code_type == "sinu":
+                from craft_tpu.nn.setrans_ablation import SinuPosEmbedder
+                pos_embed = SinuPosEmbedder(C, (H, W), self.dtype,
+                                            name="pos_coder")(coords)
             else:
                 raise NotImplementedError(
                     f"pos_code_type {self.cfg.pos_code_type}")
@@ -256,12 +266,21 @@ class CrossAttFeatTrans(nn.Module):
             return scores
 
         probs = nn.softmax(scores, axis=-1).astype(self.dtype)
+        # Attention dump hook: apply(..., mutable=['intermediates']) captures
+        # these (the reference's SAVEF2 env hook, setrans.py:603-612, done the
+        # flax way — zero cost unless the collection is made mutable).
+        self.sow("intermediates", "attn_probs", probs)
         probs = nn.Dropout(rate=cfg.attention_probs_dropout_prob)(
             probs, deterministic=deterministic)
 
         if cfg.out_attn_probs_only:
             return probs
 
+        if cfg.ablate_multihead:
+            from craft_tpu.nn.setrans_ablation import MultiHeadFeatTrans
+            return MultiHeadFeatTrans(cfg, dtype=self.dtype,
+                                      name="out_trans")(
+                key_feat, probs, deterministic=deterministic)
         return ExpandedFeatTrans(cfg, dtype=self.dtype, name="out_trans")(
             key_feat, probs, deterministic=deterministic)
 

@@ -28,6 +28,25 @@ class FlowHead(nn.Module):
         return Conv(2, (3, 3), dtype=self.dtype, name="conv2")(x)
 
 
+class ConvGRU(nn.Module):
+    """Single 3x3 ConvGRU (reference update.py:19-34; defined for API
+    completeness — the default models use SepConvGRU)."""
+
+    hidden_dim: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, x):
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = nn.sigmoid(Conv(self.hidden_dim, (3, 3), dtype=self.dtype,
+                            name="convz")(hx))
+        r = nn.sigmoid(Conv(self.hidden_dim, (3, 3), dtype=self.dtype,
+                            name="convr")(hx))
+        q = nn.tanh(Conv(self.hidden_dim, (3, 3), dtype=self.dtype,
+                         name="convq")(jnp.concatenate([r * h, x], axis=-1)))
+        return (1 - z) * h + z * q
+
+
 class SepConvGRU(nn.Module):
     """Separable ConvGRU: horizontal (1x5) then vertical (5x1) gated update
     (reference update.py:37-64)."""

@@ -94,7 +94,60 @@ def plain_corr_pyramid(
     return build_pyramid(corr, B, H, W, num_levels, radius, do_global_norm)
 
 
-def corr_lookup(pyr: CorrPyramid, coords: jnp.ndarray) -> jnp.ndarray:
+def _hat_weights(base: jnp.ndarray, radius: int, size: int) -> jnp.ndarray:
+    """Bilinear interpolation matrix via the hat function.
+
+    For each query base position p (fractional) and window offset t in
+    [-r, r], the sampled value at (p + t) equals
+        sum_k hat(p + t - k) * line[k],   hat(d) = max(0, 1 - |d|),
+    which reproduces grid_sample(align_corners=True, zeros padding) exactly,
+    including out-of-bounds taps fading to zero.  Returns [Q, n, size].
+    """
+    n = 2 * radius + 1
+    offs = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    pos = base[:, None] + offs[None, :]  # [Q, n]
+    grid = jnp.arange(size, dtype=jnp.float32)
+    d = jnp.abs(pos[:, :, None] - grid[None, None, :])
+    return jnp.maximum(0.0, 1.0 - d)
+
+
+def corr_lookup_mxu(pyr: CorrPyramid, coords: jnp.ndarray) -> jnp.ndarray:
+    """Windowed multi-scale lookup as batched MXU matmuls — no gathers.
+
+    TPU-native redesign of the reference's grid_sample lookup (corr.py:47-71):
+    instead of gathering 4*(2r+1)^2 bilinear taps per query (scatter/gather is
+    the slowest path on TPU), build per-query interpolation matrices
+    Wy [Q, n, h2] and Wx [Q, n, w2] from the hat function and contract
+        out[q, d, i, j] = Wx[q,i,:] . corr[q,:,:,d] . Wy[q,j,:]^T
+    — two batched matmuls per level that run on the systolic array.
+    Channel order matches the reference exactly (level-major, then d, then
+    x-offset i, then y-offset j).
+    """
+    r = pyr.radius
+    B, H1, W1, _ = coords.shape
+    n = 2 * r + 1
+    Q = B * H1 * W1
+    flat = coords.reshape(Q, 2)
+
+    out = []
+    for i, level in enumerate(pyr.levels):
+        h2, w2, D = level.shape[1], level.shape[2], level.shape[3]
+        base = flat / (2.0 ** i)
+        Wx = _hat_weights(base[:, 0], r, w2)  # [Q, n, w2]
+        Wy = _hat_weights(base[:, 1], r, h2)  # [Q, n, h2]
+        lvl = level.reshape(Q, h2, w2 * D)
+        # [Q, n, h2] @ [Q, h2, w2*D] -> [Q, n, w2*D]
+        rows = jnp.einsum("qjh,qhx->qjx", Wy, lvl,
+                          preferred_element_type=jnp.float32)
+        rows = rows.reshape(Q, n, w2, D)
+        # [Q, n_i, w2] . [Q, n_j, w2, D] -> [Q, D, n_i, n_j]
+        win = jnp.einsum("qiw,qjwd->qdij", Wx, rows,
+                         preferred_element_type=jnp.float32)
+        out.append(win.reshape(B, H1, W1, D * n * n))
+    return jnp.concatenate(out, axis=-1).astype(jnp.float32)
+
+
+def corr_lookup_gather(pyr: CorrPyramid, coords: jnp.ndarray) -> jnp.ndarray:
     """Windowed multi-scale lookup (reference corr.py:47-71).
 
     Args:
@@ -127,3 +180,8 @@ def corr_lookup(pyr: CorrPyramid, coords: jnp.ndarray) -> jnp.ndarray:
         sampled = sampled.transpose(0, 3, 1, 2).reshape(B, H1, W1, D * n * n)
         out.append(sampled)
     return jnp.concatenate(out, axis=-1).astype(jnp.float32)
+
+
+# Default lookup: the MXU matmul formulation (gather version kept for
+# cross-checking in tests).
+corr_lookup = corr_lookup_mxu

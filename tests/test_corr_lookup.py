@@ -1,0 +1,49 @@
+"""The MXU-matmul corr lookup must match the gather lookup and the torch
+reference bit-for-bit (modulo fp32 rounding)."""
+
+import numpy as np
+import pytest
+
+
+def test_mxu_lookup_matches_gather(rng):
+    import jax.numpy as jnp
+    from craft_tpu.ops.corr import (corr_lookup_gather, corr_lookup_mxu,
+                                    plain_corr_pyramid)
+    from craft_tpu.ops.geometry import coords_grid
+
+    B, H, W, C = 2, 16, 20, 32
+    f1 = rng.randn(B, H, W, C).astype(np.float32)
+    f2 = rng.randn(B, H, W, C).astype(np.float32)
+    pyr = plain_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2))
+
+    coords = coords_grid(B, H, W) + jnp.asarray(
+        rng.uniform(-3, 3, (B, H, W, 2)).astype(np.float32))
+    a = np.asarray(corr_lookup_gather(pyr, coords))
+    b = np.asarray(corr_lookup_mxu(pyr, coords))
+    np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_mxu_lookup_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    import sys
+    sys.path.insert(0, "/root/reference/core")
+    from corr import CorrBlock
+
+    import jax.numpy as jnp
+    from craft_tpu.ops.corr import corr_lookup_mxu, plain_corr_pyramid
+    from craft_tpu.ops.geometry import coords_grid
+
+    B, H, W, C = 1, 16, 24, 16
+    f1 = rng.randn(B, H, W, C).astype(np.float32)
+    f2 = rng.randn(B, H, W, C).astype(np.float32)
+
+    pyr = plain_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2))
+    coords = coords_grid(B, H, W) + jnp.asarray(
+        rng.uniform(-2, 5, (B, H, W, 2)).astype(np.float32))
+    got = np.asarray(corr_lookup_mxu(pyr, coords))
+
+    tc = CorrBlock(torch.from_numpy(f1.transpose(0, 3, 1, 2)),
+                   torch.from_numpy(f2.transpose(0, 3, 1, 2)), radius=4)
+    tcoords = torch.from_numpy(np.asarray(coords).transpose(0, 3, 1, 2))
+    want = tc(tcoords).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, atol=2e-4)
