@@ -51,6 +51,8 @@ class SETransSiteConfig:
     ablate_multihead: bool = False
     # Local attention mask radius in 1/8-res cells (<=0 disables); f2 only.
     attn_mask_radius: int = -1
+    # Pallas fused-attention kernels: 'auto' (TPU + inference), 'on', 'off'.
+    use_pallas: str = "auto"
     # Dropout (reference defaults setrans.py:110-111).
     hidden_dropout_prob: float = 0.1
     attention_probs_dropout_prob: float = 0.2

@@ -146,18 +146,27 @@ class LearnedSoftAggregate(nn.Module):
     keepdim: bool = False
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.feat2score = Dense(1, dtype=self.dtype)
+
     def __call__(self, x, score_basis=None):
         if score_basis is None:
             score_basis = x
         if self.num_feat == 1:
-            scores = Dense(1, dtype=self.dtype, name="feat2score")(
-                score_basis[..., None])[..., 0]
+            scores = self.feat2score(score_basis[..., None])[..., 0]
         else:
-            scores = Dense(1, dtype=self.dtype, name="feat2score")(score_basis)
+            scores = self.feat2score(score_basis)
         probs = nn.softmax(scores.astype(jnp.float32), axis=1).astype(x.dtype)
         out = jnp.sum(x * probs, axis=1, keepdims=self.keepdim)
         return out
+
+    def scalar_wb(self):
+        """Recover (w, b) of the scalar score function by probing the linear
+        layer — used by the fused Pallas correlation kernel (num_feat=1)."""
+        probe = self.feat2score(jnp.asarray([[0.0], [1.0]], jnp.float32))
+        b = probe[0, 0]
+        w = probe[1, 0] - b
+        return w, b
 
 
 def _first_linear_init(cfg: SETransSiteConfig):
@@ -243,6 +252,57 @@ class CrossAttFeatTrans(nn.Module):
         q = q.reshape(B, U1, M, md).transpose(0, 2, 1, 3)
         k = k.reshape(B, U2, M, md).transpose(0, 2, 1, 3)
 
+        # --- Pallas fast paths (TPU, inference): never materialize the
+        # [B, M, U, U] score tensor (SURVEY.md §5.7).  Falls back to the XLA
+        # path for training (dropout / autodiff) and non-TPU backends.
+        use_pallas = self._pallas_enabled(deterministic, attention_mask)
+        interp = jax.default_backend() != "tpu"  # interpret kernels off-TPU
+        if use_pallas and cfg.out_attn_scores_only and M > 1:
+            from craft_tpu.ops.pallas.mode_attention import (
+                fused_agg_corr, scores_global_max)
+            agg = LearnedSoftAggregate(1, keepdim=True, dtype=jnp.float32,
+                                       name="attn_softaggr")
+            agg_w, agg_b = agg.scalar_wb()
+            qf = q.astype(jnp.float32)
+            kf = k.astype(jnp.float32)
+            gmax = jnp.max(jax.vmap(
+                lambda qq, kk: scores_global_max(qq, kk, 1.0 / math.sqrt(md),
+                                                 interpret=interp)
+            )(qf, kf))
+            clip_val = jnp.where(gmax > cfg.attn_clip, cfg.attn_clip, 1e30)
+            bias2d = None if pos_biases is None else \
+                pos_biases.astype(jnp.float32)
+            vol = jax.vmap(lambda qq, kk: fused_agg_corr(
+                qq, kk, bias2d, clip_val, cfg.pos_code_weight, agg_w, agg_b,
+                interpret=interp,
+            ))(qf, kf)
+            return vol[:, None]  # [B, 1, U1, U2]
+
+        if (use_pallas and not cfg.out_attn_only and not cfg.has_FFN
+                and not cfg.ablate_multihead):
+            from craft_tpu.ops.pallas.mode_attention import (
+                flash_mode_attention, scores_global_max)
+            qf = q.astype(jnp.float32)
+            kf = k.astype(jnp.float32)
+            gmax = jnp.max(jax.vmap(
+                lambda qq, kk: scores_global_max(qq, kk, 1.0 / math.sqrt(md),
+                                                 interpret=interp)
+            )(qf, kf))
+            clip_val = jnp.where(gmax > cfg.attn_clip, cfg.attn_clip, 1e30)
+            bias2d = None if pos_biases is None else \
+                pos_biases.astype(jnp.float32)
+
+            def attention_fn(v4d):  # [B, M, U2, F] -> [B, M, U1, F]
+                return jax.vmap(lambda qq, kk, vv: flash_mode_attention(
+                    qq, kk, vv, bias2d, clip_val, cfg.pos_code_weight,
+                    interpret=interp,
+                ))(qf, kf, v4d.astype(jnp.float32)).astype(self.dtype)
+
+            return ExpandedFeatTrans(cfg, dtype=self.dtype, name="out_trans")(
+                key_feat, None, deterministic=deterministic,
+                attention_fn=attention_fn)
+
+        # --- XLA reference path ---
         scores = jnp.einsum("bmid,bmjd->bmij", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores / math.sqrt(md)
@@ -284,6 +344,20 @@ class CrossAttFeatTrans(nn.Module):
         return ExpandedFeatTrans(cfg, dtype=self.dtype, name="out_trans")(
             key_feat, probs, deterministic=deterministic)
 
+    def _pallas_enabled(self, deterministic: bool, attention_mask) -> bool:
+        mode = self.cfg.use_pallas
+        if mode == "off":
+            return False
+        if attention_mask is not None:
+            return False
+        if not deterministic:
+            # Training needs attention dropout + autodiff of the kernels —
+            # the XLA path handles both; fused training kernels are planned.
+            return False
+        if mode == "on":
+            return True
+        return jax.default_backend() == "tpu"
+
 
 class ExpandedFeatTrans(nn.Module):
     """Multi-mode value expansion + fusion + mode pooling (reference
@@ -294,11 +368,11 @@ class ExpandedFeatTrans(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, input_feat, attention_probs, deterministic: bool = True):
+    def __call__(self, input_feat, attention_probs, deterministic: bool = True,
+                 attention_fn=None):
         cfg = self.cfg
         B, U2, _ = input_feat.shape
         M, F = cfg.num_modes, cfg.feat_dim
-        U1 = attention_probs.shape[2]
 
         v = Dense(M * F, use_bias=cfg.v_has_bias,
                   kernel_init=_first_linear_init(cfg),
@@ -306,8 +380,12 @@ class ExpandedFeatTrans(nn.Module):
                   dtype=self.dtype, name="first_linear")(input_feat)
         v = v.reshape(B, U2, M, F).transpose(0, 2, 1, 3)  # [B, M, U2, F]
 
-        fused = jnp.einsum("bmij,bmjf->bmif",
-                           attention_probs.astype(self.dtype), v)  # [B, M, U1, F]
+        if attention_fn is not None:
+            # Fused (flash) application — probs are never materialized.
+            fused = attention_fn(v)  # [B, M, U1, F]
+        else:
+            fused = jnp.einsum("bmij,bmjf->bmif",
+                               attention_probs.astype(self.dtype), v)
 
         if cfg.has_FFN:
             # Shared mid linear + GELU, then private (grouped) output linear with

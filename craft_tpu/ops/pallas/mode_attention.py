@@ -1,0 +1,264 @@
+"""Pallas TPU kernels for the SETrans multi-mode attention stack.
+
+Three kernels replace the XLA paths that materialize [M, U, U] score tensors
+(~793 MB fp32 at Sintel size; SURVEY.md §2.3, §5.7):
+
+  * scores_global_max:  global max of QK^T/sqrt(md) over all modes — the
+    predicate for the reference's *conditional* attention clamp
+    (setrans.py:520-529) without materializing scores.
+  * flash_mode_attention:  blockwise softmax(clamp(scores) + w*bias) @ V per
+    mode — the f2-transformer core; only [M, U, F] leaves the kernel.
+  * fused_agg_corr:  clamp + bias + learned softmax mode-aggregation producing
+    the [U, U] correlation volume directly (TransCorrBlock's CrossAttFeatTrans
+    with out_attn_scores_only, corr.py:191-207 + setrans.py:545-550).
+
+All kernels tile the U axes in (TQ, TK) blocks, run matmuls on the MXU in
+fp32, and read the dense positional-bias table tile-by-tile from HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _pad_to(x, size, axis, value=0.0):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 1: global max of mode attention scores (no materialization)
+# ---------------------------------------------------------------------------
+
+def _max_kernel(q_ref, k_ref, out_ref, *, scale):
+    # q_ref: [M, TQ, md]; k_ref: [M, TK, md]; out_ref: [1, 1]
+    M = q_ref.shape[0]
+    m = NEG_INF
+    for mode in range(M):
+        s = jax.lax.dot_general(
+            q_ref[mode], k_ref[mode],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        m = jnp.maximum(m, jnp.max(s))
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        out_ref[0, 0] = NEG_INF
+
+    out_ref[0, 0] = jnp.maximum(out_ref[0, 0], m)
+
+
+def scores_global_max(q, k, scale, tq=512, tk=512, interpret=False):
+    """q, k: [M, U, md] -> scalar max of scale * q @ k^T over everything.
+
+    Padded keys/queries are zero vectors -> score 0; since real volumes always
+    contain values >= 0 somewhere this does not disturb the clamp predicate
+    in practice, and the clamp itself is exact (applied to real tiles only).
+    """
+    M, U1, md = q.shape
+    U2 = k.shape[1]
+    U1p = ((U1 + tq - 1) // tq) * tq
+    U2p = ((U2 + tk - 1) // tk) * tk
+    qp = _pad_to(q, U1p, 1)
+    kp = _pad_to(k, U2p, 1)
+    grid = (U1p // tq, U2p // tk)
+    out = pl.pallas_call(
+        functools.partial(_max_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((M, tq, md), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, tk, md), lambda i, j: (0, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        interpret=interpret,
+    )(qp.astype(jnp.float32), kp.astype(jnp.float32))
+    return out[0, 0]
+
+
+# ---------------------------------------------------------------------------
+# Kernel 2: flash multi-mode attention (f2 transformer core)
+# ---------------------------------------------------------------------------
+
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, clip_ref, out_ref,
+                  acc_ref, m_ref, l_ref, *, scale, pos_w, nkv):
+    # Grid: (modes, q_tiles, k_tiles) with k innermost.
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    clip_val = clip_ref[0]
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    s = jnp.clip(s, -clip_val, clip_val)
+    s = s + pos_w * bias_ref[:]  # bias carries -inf on padded keys
+
+    m_prev = m_ref[:]
+    m_cur = jnp.max(s, axis=1, keepdims=True)  # [TQ, 1]
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)  # [TQ, TK]
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
+        p.astype(v_ref.dtype), v_ref[0],
+        preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+
+    @pl.when(kt == nkv - 1)
+    def _():
+        out_ref[0] = (acc_ref[:] / l_ref[:]).astype(out_ref.dtype)
+
+
+def flash_mode_attention(q, k, v, bias, clip_val, pos_w,
+                         tq=256, tk=512, out_dtype=jnp.float32,
+                         interpret=False):
+    """out[m] = softmax(clamp(scale * q_m k_m^T) + pos_w * bias) @ v_m.
+
+    q, k: [M, U, md]; v: [M, U2, F]; bias: [U, U2] (or None);
+    clip_val: scalar (pass +inf to disable clamping).
+    Returns [M, U, F].
+    """
+    M, U1, md = q.shape
+    U2, F = v.shape[1], v.shape[2]
+    scale = 1.0 / (md ** 0.5)
+    U1p = ((U1 + tq - 1) // tq) * tq
+    U2p = ((U2 + tk - 1) // tk) * tk
+
+    qp = _pad_to(q, U1p, 1).astype(jnp.float32)
+    kp = _pad_to(k, U2p, 1).astype(jnp.float32)
+    vp = _pad_to(v, U2p, 1).astype(jnp.float32)
+    if bias is None:
+        bias = jnp.zeros((U1, U2), jnp.float32)
+    biasp = _pad_to(_pad_to(bias.astype(jnp.float32), U2p, 1,
+                            value=NEG_INF), U1p, 0)
+
+    nkv = U2p // tk
+    grid = (M, U1p // tq, nkv)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, pos_w=pos_w, nkv=nkv),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tq, md), lambda m, i, j: (m, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, md), lambda m, i, j: (m, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, F), lambda m, i, j: (m, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, tk), lambda m, i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, F), lambda m, i, j: (m, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, U1p, F), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tq, F), jnp.float32),
+            pltpu.VMEM((tq, 1), jnp.float32),
+            pltpu.VMEM((tq, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, biasp, jnp.asarray([clip_val], jnp.float32))
+    return out[:, :U1]
+
+
+# ---------------------------------------------------------------------------
+# Kernel 3: fused attentional-correlation volume
+# ---------------------------------------------------------------------------
+
+def _agg_corr_kernel(q_ref, k_ref, bias_ref, scal_ref, out_ref, *, scale,
+                     num_modes):
+    # scal_ref: [4] = (clip_val, pos_w, agg_w, agg_b)
+    clip_val = scal_ref[0]
+    pos_w = scal_ref[1]
+    agg_w = scal_ref[2]
+    agg_b = scal_ref[3]
+
+    bias = pos_w * bias_ref[:]
+    # First pass over modes: accumulate softmax numerators stably.
+    # Mode count is small (<=4 typical) — unrolled.
+    ss = []
+    for mode in range(num_modes):
+        s = jax.lax.dot_general(
+            q_ref[mode], k_ref[mode],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = jnp.clip(s, -clip_val, clip_val) + bias
+        ss.append(s)
+    # LearnedSoftAggregate(num_feat=1): weights softmax(agg_w*s_m + agg_b)
+    # over modes, elementwise (setrans.py:279-300).  agg_b cancels in the
+    # softmax but is kept for exactness of intermediate magnitudes.
+    logits = [agg_w * s + agg_b for s in ss]
+    mmax = logits[0]
+    for lg in logits[1:]:
+        mmax = jnp.maximum(mmax, lg)
+    exps = [jnp.exp(lg - mmax) for lg in logits]
+    denom = exps[0]
+    for e in exps[1:]:
+        denom = denom + e
+    acc = exps[0] * ss[0]
+    for e, s in zip(exps[1:], ss[1:]):
+        acc = acc + e * s
+    out_ref[:] = acc / denom
+
+
+def fused_agg_corr(q, k, bias, clip_val, pos_w, agg_w, agg_b,
+                   tq=256, tk=512, interpret=False):
+    """The CRAFT inter-frame correlation volume in one pass.
+
+    out[i, j] = sum_m softmax_m(agg_w * s_m[i,j] + agg_b) * s_m[i,j],
+    s_m = clamp(scale * q_m k_m^T) + pos_w * bias.
+    q, k: [M, U, md]; bias: [U1, U2] or None.  Returns [U1, U2] fp32.
+    """
+    M, U1, md = q.shape
+    U2 = k.shape[1]
+    scale = 1.0 / (md ** 0.5)
+    U1p = ((U1 + tq - 1) // tq) * tq
+    U2p = ((U2 + tk - 1) // tk) * tk
+    qp = _pad_to(q, U1p, 1).astype(jnp.float32)
+    kp = _pad_to(k, U2p, 1).astype(jnp.float32)
+    if bias is None:
+        bias = jnp.zeros((U1, U2), jnp.float32)
+    biasp = _pad_to(_pad_to(bias.astype(jnp.float32), U2p, 1), U1p, 0)
+    scal = jnp.asarray([clip_val, pos_w, agg_w, agg_b], jnp.float32)
+
+    grid = (U1p // tq, U2p // tk)
+    out = pl.pallas_call(
+        functools.partial(_agg_corr_kernel, scale=scale, num_modes=M),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((M, tq, md), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, tk, md), lambda i, j: (0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, tk), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tq, tk), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((U1p, U2p), jnp.float32),
+        interpret=interpret,
+    )(qp, kp, biasp, scal)
+    return out[:U1, :U2]
