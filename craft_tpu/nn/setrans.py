@@ -312,6 +312,14 @@ class CrossAttFeatTrans(nn.Module):
         max_attn = jnp.max(scores)
         clipped = jnp.clip(scores, -cfg.attn_clip, cfg.attn_clip)
         scores = jnp.where(max_attn > cfg.attn_clip, clipped, scores)
+        # Attention-health telemetry (reference max-attn/clamp-count prints,
+        # setrans.py:520-536) — captured only when the 'diagnostics'
+        # collection is mutable, so the compiled step stays host-free.
+        self.sow("diagnostics", "max_attn", max_attn)
+        self.sow("diagnostics", "avg_abs_attn", jnp.mean(jnp.abs(scores)))
+        self.sow("diagnostics", "clamp_frac",
+                 jnp.mean((jnp.abs(scores) >= cfg.attn_clip).astype(
+                     jnp.float32)))
 
         if pos_biases is not None:
             scores = scores + cfg.pos_code_weight * \
