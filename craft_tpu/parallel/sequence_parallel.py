@@ -45,7 +45,7 @@ def sp_fused_agg_corr(mesh: Mesh, q, k, bias, clip_val, pos_w, agg_w, agg_b,
                               agg_b, interpret=interpret)
 
     fn = shard_map(local, mesh=mesh, in_specs=in_specs,
-                   out_specs=P(axis, None))
+                   out_specs=P(axis, None), check_vma=False)
     args = (q, k) + ((bias,) if has_bias else ())
     return fn(*args)
 
@@ -67,6 +67,6 @@ def sp_flash_mode_attention(mesh: Mesh, q, k, v, bias, clip_val, pos_w,
                                     pos_w, interpret=interpret)
 
     fn = shard_map(local, mesh=mesh, in_specs=in_specs,
-                   out_specs=P(None, axis, None))
+                   out_specs=P(None, axis, None), check_vma=False)
     args = (q, k, v) + ((bias,) if has_bias else ())
     return fn(*args)
