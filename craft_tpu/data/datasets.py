@@ -36,6 +36,9 @@ class FlowDataset:
         self.flow_list: List[str] = []
         self.image_list: List[List[str]] = []
         self.extra_info: Optional[list] = None
+        self.occ_list: Optional[List[str]] = None
+        self.seg_list: Optional[List[str]] = None
+        self.seg_inv_list: Optional[List[str]] = None
 
     def __getitem__(self, index) -> Dict[str, np.ndarray]:
         extra = self.extra_info[index] if self.extra_info is not None else index
@@ -73,11 +76,22 @@ class FlowDataset:
         if valid is None:
             valid = (np.abs(flow[..., 0]) < 1000) & (np.abs(flow[..., 1]) < 1000)
 
-        return {"image1": img1.astype(np.float32),
+        item = {"image1": img1.astype(np.float32),
                 "image2": img2.astype(np.float32),
                 "flow": flow.astype(np.float32),
                 "valid": valid.astype(np.float32),
                 "extra_info": extra}
+        if self.occ_list is not None:
+            occ = np.array(frame_utils.read_gen(self.occ_list[index]))
+            item["occ"] = (occ.astype(np.uint8) // 255).astype(bool)
+        if self.seg_list is not None and self.seg_inv_list is not None:
+            seg = np.array(frame_utils.read_gen(
+                self.seg_list[index])).astype(np.int32)
+            item["seg_map"] = (seg[..., 0] * 256 + seg[..., 1]) * 256 \
+                + seg[..., 2]
+            seg_inv = np.array(frame_utils.read_gen(self.seg_inv_list[index]))
+            item["seg_inv"] = (seg_inv.astype(np.uint8) // 255).astype(bool)
+        return item
 
     def __rmul__(self, v: int) -> "FlowDataset":
         self.flow_list = v * self.flow_list
@@ -120,11 +134,20 @@ class ConcatDataset:
 
 class MpiSintel(FlowDataset):
     def __init__(self, aug_params=None, split="training",
-                 root="datasets/Sintel", dstype="clean"):
+                 root="datasets/Sintel", dstype="clean", occlusion=False,
+                 segmentation=False):
         self.ds_name = f"sintel-{split}-{dstype}"
         super().__init__(aug_params)
         flow_root = osp.join(root, split, "flow")
         image_root = osp.join(root, split, dstype)
+        occ_root = osp.join(root, split, "occlusions")
+        seg_root = osp.join(root, split, "segmentation")
+        seg_inv_root = osp.join(root, split, "segmentation_invalid")
+        self.occlusion = occlusion
+        self.segmentation = segmentation
+        self.occ_list = [] if occlusion else None
+        self.seg_list = [] if segmentation else None
+        self.seg_inv_list = [] if segmentation else None
         if split == "test":
             self.is_test = True
         self.extra_info = []
@@ -136,6 +159,14 @@ class MpiSintel(FlowDataset):
             if split != "test":
                 self.flow_list += sorted(glob(osp.join(flow_root, scene,
                                                        "*.flo")))
+                if occlusion:
+                    self.occ_list += sorted(glob(osp.join(occ_root, scene,
+                                                          "*.png")))
+                if segmentation:
+                    self.seg_list += sorted(glob(osp.join(seg_root, scene,
+                                                          "*.png")))
+                    self.seg_inv_list += sorted(
+                        glob(osp.join(seg_inv_root, scene, "*.png")))
 
 
 class FlyingChairs(FlowDataset):

@@ -154,6 +154,47 @@ def validate_sintel(cfg, variables, iters=12, data_root="datasets",
     return results
 
 
+def validate_sintel_occ(cfg, variables, iters=12, data_root="datasets",
+                        max_val_count=-1) -> Dict[str, float]:
+    """Occluded / non-occluded EPE split (reference evaluate.py:604-700):
+    per-dstype EPE over all pixels plus the occ / noc partitions."""
+    evaluator = Evaluator(cfg, variables, iters=iters)
+    results = {}
+    for dt in ["clean", "final", "albedo"]:
+        try:
+            dataset = ds.MpiSintel(split="training", dstype=dt,
+                                   root=f"{data_root}/Sintel",
+                                   occlusion=True)
+        except FileNotFoundError:
+            continue
+        epe_list, occ_list, noc_list = [], [], []
+        for item in _iter_pairs(dataset, max_val_count):
+            img1, img2, gt = item["image1"], item["image2"], item["flow"]
+            occ = item["occ"]
+            padder = InputPadder((1,) + img1.shape, mode="sintel")
+            p1, p2 = padder.pad(*[np.asarray(x)[None]
+                                  for x in (img1, img2)])
+            _, flows = evaluator(np.asarray(p1), np.asarray(p2))
+            flow = np.asarray(padder.unpad(flows[-1]))[0]
+            epe = np.sqrt(((flow - gt) ** 2).sum(-1))
+            epe_list.append(epe.reshape(-1))
+            occ_list.append(epe[occ].reshape(-1))
+            noc_list.append(epe[~occ].reshape(-1))
+        if not epe_list:
+            continue
+        results[f"sintel_occ_{dt}_epe"] = float(
+            np.concatenate(epe_list).mean())
+        results[f"sintel_occ_{dt}_occ_epe"] = float(
+            np.concatenate(occ_list).mean()) if occ_list else 0.0
+        results[f"sintel_occ_{dt}_noc_epe"] = float(
+            np.concatenate(noc_list).mean()) if noc_list else 0.0
+        print(f"Sintel occ split ({dt}): epe "
+              f"{results[f'sintel_occ_{dt}_epe']:.4f}, occ "
+              f"{results[f'sintel_occ_{dt}_occ_epe']:.4f}, noc "
+              f"{results[f'sintel_occ_{dt}_noc_epe']:.4f}")
+    return results
+
+
 def validate_things(cfg, variables, iters=12, data_root="datasets",
                     dstype="both", xy_shift=None,
                     max_val_count=-1) -> Dict[str, float]:
@@ -278,6 +319,7 @@ VALIDATORS = {
     "chairs": validate_chairs,
     "things": validate_things,
     "sintel": validate_sintel,
+    "sintel_occ": validate_sintel_occ,
     "kitti": validate_kitti,
     "kittitrain": lambda *a, **k: validate_kitti(*a, use_kitti_train=True, **k),
     "hd1k": validate_hd1k,
