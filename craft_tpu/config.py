@@ -193,6 +193,16 @@ def raft_config(mixed_precision: bool = True, corr_radius: int = 4) -> ModelConf
     )
 
 
+def gma_config(mixed_precision: bool = True, num_heads: int = 1) -> ModelConfig:
+    """GMA baseline: plain correlation + GMA attention + GMAUpdateBlock
+    (reference train-gma.sh; 5.88 M params)."""
+    return ModelConfig(
+        arch="craft", craft=False, f2trans="none", f1trans="none",
+        use_setrans=False, num_heads=num_heads,
+        mixed_precision=mixed_precision,
+    )
+
+
 def craft_nogma_config(mixed_precision: bool = True, f2trans: str = "full") -> ModelConfig:
     # craft_nogma.py:77 uses intra_num_modes for the f2 site's mode count.
     return ModelConfig(

@@ -342,6 +342,12 @@ class CrossAttFeatTrans(nn.Module):
             probs, deterministic=deterministic)
 
         if cfg.out_attn_probs_only:
+            if M > 1:
+                # The reference creates (but never applies) attn_softaggr in
+                # the probs-only path too (setrans.py:432-436); keep the
+                # params for state-dict structure parity.
+                LearnedSoftAggregate(1, keepdim=True, dtype=jnp.float32,
+                                     name="attn_softaggr").scalar_wb()
             return probs
 
         if cfg.ablate_multihead:
