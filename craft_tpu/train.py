@@ -57,6 +57,9 @@ def parse_args(argv=None):
     p.add_argument("--print_freq", type=int, default=100)
     p.add_argument("--data_root", type=str, default="datasets")
     p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace for steps [10, 10+N)")
+    p.add_argument("--profile_dir", type=str, default="/tmp/craft_tpu_trace")
     return p.parse_args(argv)
 
 
@@ -140,7 +143,14 @@ def main(argv=None):
                     0.0, 255.0).astype(np.float32)
         batch.pop("extra_info", None)
         batch = shard_batch(mesh, batch)
+        if args.profile_steps and int(state.step) == 10:
+            import jax.profiler
+            jax.profiler.start_trace(args.profile_dir)
         state, metrics = train_step(state, batch, step_rng)
+        if args.profile_steps and int(state.step) == 10 + args.profile_steps:
+            import jax.profiler
+            jax.profiler.stop_trace()
+            print(f"Profiler trace written to {args.profile_dir}")
         metrics = jax.device_get(metrics)
         t_now = time.time()
         metrics["time"] = t_now - t_prev
