@@ -16,7 +16,7 @@ softmax/normalization accumulate in fp32.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +24,25 @@ from flax import linen as nn
 
 from craft_tpu.config import SETransSiteConfig
 from craft_tpu.nn.layers import Dense, LayerNorm, normal_init
+
+
+class SlidingBias(NamedTuple):
+    """Structured sliding positional bias: the raw (2R+1)^2 window plus grid
+    shape.  Densified lazily on the XLA path; the Pallas kernels assemble the
+    bias per tile from a [2R+1, W8, W8] block-Toeplitz table instead."""
+
+    biases: jnp.ndarray  # [2R+1, 2R+1]
+    H: int
+    W: int
+
+    def dense(self) -> jnp.ndarray:
+        return sliding_pos_biases(self.biases, self.H, self.W)
+
+
+def _as_dense_bias(pos_biases):
+    if isinstance(pos_biases, SlidingBias):
+        return pos_biases.dense()
+    return pos_biases
 
 
 def sliding_pos_biases(biases: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
@@ -55,11 +74,11 @@ class SlidingPosBiases2D(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, H: int, W: int):
+    def __call__(self, H: int, W: int) -> "SlidingBias":
         R = self.pos_bias_radius
         biases = self.param("biases", nn.initializers.zeros,
                             (2 * R + 1, 2 * R + 1), jnp.float32)
-        return sliding_pos_biases(biases, H, W)
+        return SlidingBias(biases, H, W)
 
 
 class LearnedSinuPosEmbedder(nn.Module):
@@ -257,9 +276,10 @@ class CrossAttFeatTrans(nn.Module):
         # path for training (dropout / autodiff) and non-TPU backends.
         use_pallas = self._pallas_enabled(deterministic, attention_mask)
         interp = jax.default_backend() != "tpu"  # interpret kernels off-TPU
+        structured = isinstance(pos_biases, SlidingBias)
         if use_pallas and cfg.out_attn_scores_only and M > 1:
             from craft_tpu.ops.pallas.mode_attention import (
-                fused_agg_corr, scores_global_max)
+                fused_agg_corr, fused_agg_corr_mt, scores_global_max)
             agg = LearnedSoftAggregate(1, keepdim=True, dtype=jnp.float32,
                                        name="attn_softaggr")
             agg_w, agg_b = agg.scalar_wb()
@@ -270,18 +290,26 @@ class CrossAttFeatTrans(nn.Module):
                                                  interpret=interp)
             )(qf, kf))
             clip_val = jnp.where(gmax > cfg.attn_clip, cfg.attn_clip, 1e30)
-            bias2d = None if pos_biases is None else \
-                pos_biases.astype(jnp.float32)
-            vol = jax.vmap(lambda qq, kk: fused_agg_corr(
-                qq, kk, bias2d, clip_val, cfg.pos_code_weight, agg_w, agg_b,
-                interpret=interp,
-            ))(qf, kf)
+            if structured:
+                grid_hw = (pos_biases.H, pos_biases.W)
+                vol = jax.vmap(lambda qq, kk: fused_agg_corr_mt(
+                    qq, kk, pos_biases.biases, grid_hw, clip_val,
+                    cfg.pos_code_weight, agg_w, agg_b, interpret=interp,
+                ))(qf, kf)
+            else:
+                bias2d = None if pos_biases is None else \
+                    pos_biases.astype(jnp.float32)
+                vol = jax.vmap(lambda qq, kk: fused_agg_corr(
+                    qq, kk, bias2d, clip_val, cfg.pos_code_weight, agg_w,
+                    agg_b, interpret=interp,
+                ))(qf, kf)
             return vol[:, None]  # [B, 1, U1, U2]
 
         if (use_pallas and not cfg.out_attn_only and not cfg.has_FFN
                 and not cfg.ablate_multihead):
             from craft_tpu.ops.pallas.mode_attention import (
-                flash_mode_attention, scores_global_max)
+                flash_mode_attention, flash_mode_attention_mt,
+                scores_global_max)
             qf = q.astype(jnp.float32)
             kf = k.astype(jnp.float32)
             gmax = jnp.max(jax.vmap(
@@ -289,14 +317,26 @@ class CrossAttFeatTrans(nn.Module):
                                                  interpret=interp)
             )(qf, kf))
             clip_val = jnp.where(gmax > cfg.attn_clip, cfg.attn_clip, 1e30)
-            bias2d = None if pos_biases is None else \
-                pos_biases.astype(jnp.float32)
 
-            def attention_fn(v4d):  # [B, M, U2, F] -> [B, M, U1, F]
-                return jax.vmap(lambda qq, kk, vv: flash_mode_attention(
-                    qq, kk, vv, bias2d, clip_val, cfg.pos_code_weight,
-                    interpret=interp,
-                ))(qf, kf, v4d.astype(jnp.float32)).astype(self.dtype)
+            if structured:
+                grid_hw = (pos_biases.H, pos_biases.W)
+
+                def attention_fn(v4d):  # [B, M, U2, F] -> [B, M, U1, F]
+                    return jax.vmap(
+                        lambda qq, kk, vv: flash_mode_attention_mt(
+                            qq, kk, vv, pos_biases.biases, grid_hw, clip_val,
+                            cfg.pos_code_weight, interpret=interp,
+                        ))(qf, kf,
+                           v4d.astype(jnp.float32)).astype(self.dtype)
+            else:
+                bias2d = None if pos_biases is None else \
+                    pos_biases.astype(jnp.float32)
+
+                def attention_fn(v4d):  # [B, M, U2, F] -> [B, M, U1, F]
+                    return jax.vmap(lambda qq, kk, vv: flash_mode_attention(
+                        qq, kk, vv, bias2d, clip_val, cfg.pos_code_weight,
+                        interpret=interp,
+                    ))(qf, kf, v4d.astype(jnp.float32)).astype(self.dtype)
 
             return ExpandedFeatTrans(cfg, dtype=self.dtype, name="out_trans")(
                 key_feat, None, deterministic=deterministic,
@@ -323,7 +363,7 @@ class CrossAttFeatTrans(nn.Module):
 
         if pos_biases is not None:
             scores = scores + cfg.pos_code_weight * \
-                pos_biases.astype(scores.dtype)
+                _as_dense_bias(pos_biases).astype(scores.dtype)
         if attention_mask is not None:
             scores = scores + attention_mask.astype(scores.dtype)
 

@@ -44,9 +44,19 @@ def all_pairs_correlation(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray
 
 def global_layer_norm(vol: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     """Layer-norm over the flattened (H1*W1*H2*W2) volume per (batch, dim) slice
-    (reference corr.py:27-30, 200-204).  vol: [B, D, N] with N the flat volume."""
-    mean = jnp.mean(vol, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(vol - mean), axis=-1, keepdims=True)
+    (reference corr.py:27-30, 200-204).  vol: [B, D, N] with N the flat volume.
+
+    TPU note: the N axis is reduced in two stages via a [B, D, N/128, 128]
+    view so the reduction keeps full lanes."""
+    B, D, N = vol.shape
+    if N % 128 == 0:
+        v = vol.reshape(B, D, N // 128, 128)
+        mean = jnp.mean(v, axis=(-2, -1))[..., None]
+        var = jnp.mean(jnp.square(v - mean[..., None]),
+                       axis=(-2, -1))[..., None]
+    else:
+        mean = jnp.mean(vol, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(vol - mean), axis=-1, keepdims=True)
     return (vol - mean) * jax.lax.rsqrt(var + eps)
 
 
@@ -77,7 +87,16 @@ def build_pyramid(
     base = corr.reshape(B * U1, D, h2, w2).transpose(0, 2, 3, 1)  # [BU1, h2, w2, D]
     levels = [base]
     for _ in range(num_levels - 1):
-        levels.append(avg_pool2x2(levels[-1]))
+        prev = levels[-1]
+        if D == 1:
+            # Pool on [Q, h, w] so the lane dimension stays w (128-wide at
+            # Sintel size) instead of the size-1 D axis.
+            p = jax.lax.reduce_window(
+                prev[..., 0], 0.0, jax.lax.add, (1, 2, 2), (1, 2, 2),
+                "VALID") / 4.0
+            levels.append(p[..., None])
+        else:
+            levels.append(avg_pool2x2(prev))
     return CorrPyramid(levels=tuple(levels), batch=batch, h1=h1, w1=w1, radius=radius)
 
 

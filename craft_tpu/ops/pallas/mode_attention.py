@@ -94,6 +94,44 @@ def scores_global_max(q, k, scale, tq=512, tk=512, interpret=False):
 
 
 # ---------------------------------------------------------------------------
+# Sliding-pos-bias as a block-Toeplitz assembly (no dense [U, U] table)
+# ---------------------------------------------------------------------------
+#
+# bias[(qi, qj), (kh, kw)] = B[kh-qi+R, kw-qj+R] (zero outside the window;
+# reference SlidingPosBiases2D, setrans.py:644-708).  For row-major tokens the
+# [U, U] table consists of [W8, W8] sub-blocks that depend only on the row
+# offset d = kh - qi, so a [2R+1, W8, W8] table M[d+R] suffices: each (TQ, TK)
+# tile is assembled from rq x rk sub-blocks selected by d.  This removes the
+# ~200 MB dense-bias build + reads at Sintel size.
+
+def make_rowbias_table(biases: jnp.ndarray, w8: int) -> jnp.ndarray:
+    """[2R+1, 2R+1] window -> M [2R+1, W8, W8] with
+    M[a, qj, kw] = biases[a, kw-qj+R] (0 outside)."""
+    R = (biases.shape[0] - 1) // 2
+    dw = jnp.arange(w8)[None, :] - jnp.arange(w8)[:, None]  # [qj, kw]
+    mask = jnp.abs(dw) <= R
+    idx = jnp.clip(dw + R, 0, 2 * R)
+    table = biases[:, idx]  # [2R+1, W8, W8]
+    return table * mask[None]
+
+
+def _bias_tile_from_mtable(m_ref, qi0, kh0, rq, rk, w8, R):
+    """Assemble a [rq*W8, rk*W8] bias tile from the row-offset table."""
+    rows = []
+    for a in range(rq):
+        cols = []
+        for b in range(rk):
+            d = (kh0 + b) - (qi0 + a)
+            valid = jnp.abs(d) <= R
+            idx = jnp.clip(d + R, 0, 2 * R)
+            blk = m_ref[pl.ds(idx, 1)][0]  # [W8, W8]
+            blk = jnp.where(valid, blk, 0.0)
+            cols.append(blk)
+        rows.append(jnp.concatenate(cols, axis=1))
+    return jnp.concatenate(rows, axis=0)
+
+
+# ---------------------------------------------------------------------------
 # Kernel 2: flash multi-mode attention (f2 transformer core)
 # ---------------------------------------------------------------------------
 
@@ -181,6 +219,169 @@ def flash_mode_attention(q, k, v, bias, clip_val, pos_w,
         interpret=interpret,
     )(qp, kp, vp, biasp, jnp.asarray([clip_val], jnp.float32))
     return out[:, :U1]
+
+
+def _flash_kernel_mt(q_ref, k_ref, v_ref, m_ref, clip_ref, out_ref,
+                     acc_ref, mx_ref, l_ref, *, scale, pos_w, nkv, rq, rk,
+                     w8, R, u2_valid):
+    it = pl.program_id(1)
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        mx_ref[:] = jnp.full_like(mx_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    clip_val = clip_ref[0]
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    s = jnp.clip(s, -clip_val, clip_val)
+    s = s + pos_w * _bias_tile_from_mtable(m_ref, it * rq, kt * rk, rq, rk,
+                                           w8, R)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kt * (rk * w8)
+    s = jnp.where(col < u2_valid, s, NEG_INF)
+
+    m_prev = mx_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
+        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32)
+    mx_ref[:] = m_new
+
+    @pl.when(kt == nkv - 1)
+    def _():
+        out_ref[0] = (acc_ref[:] / l_ref[:]).astype(out_ref.dtype)
+
+
+def flash_mode_attention_mt(q, k, v, biases, grid_hw, clip_val, pos_w,
+                            out_dtype=jnp.float32, interpret=False):
+    """flash_mode_attention with the sliding bias assembled in-kernel from
+    the [2R+1, W8, W8] block-Toeplitz table (self-attention: U1 == U2 ==
+    H8*W8 given by grid_hw)."""
+    M, U1, md = q.shape
+    H8, W8 = grid_hw
+    U2, F = v.shape[1], v.shape[2]
+    assert U1 == H8 * W8 and U2 == U1
+    R = (biases.shape[0] - 1) // 2
+    scale = 1.0 / (md ** 0.5)
+    rq = max(1, 256 // W8)
+    rk = max(1, 512 // W8)
+    tq, tk = rq * W8, rk * W8
+    U1p = ((U1 + tq - 1) // tq) * tq
+    U2p = ((U2 + tk - 1) // tk) * tk
+
+    qp = _pad_to(q, U1p, 1).astype(jnp.float32)
+    kp = _pad_to(k, U2p, 1).astype(jnp.float32)
+    vp = _pad_to(v, U2p, 1).astype(jnp.float32)
+    mtable = make_rowbias_table(biases, W8)
+
+    nkv = U2p // tk
+    grid = (M, U1p // tq, nkv)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel_mt, scale=scale, pos_w=pos_w,
+                          nkv=nkv, rq=rq, rk=rk, w8=W8, R=R, u2_valid=U2),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tq, md), lambda m, i, j: (m, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, md), lambda m, i, j: (m, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, F), lambda m, i, j: (m, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * R + 1, W8, W8), lambda m, i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, F), lambda m, i, j: (m, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, U1p, F), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tq, F), jnp.float32),
+            pltpu.VMEM((tq, 1), jnp.float32),
+            pltpu.VMEM((tq, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, mtable, jnp.asarray([clip_val], jnp.float32))
+    return out[:, :U1]
+
+
+def _agg_corr_kernel_mt(q_ref, k_ref, m_ref, scal_ref, out_ref, *, scale,
+                        num_modes, rq, rk, w8, R):
+    it = pl.program_id(0)
+    kt = pl.program_id(1)
+    clip_val = scal_ref[0]
+    pos_w = scal_ref[1]
+    agg_w = scal_ref[2]
+    agg_b = scal_ref[3]
+
+    bias = pos_w * _bias_tile_from_mtable(m_ref, it * rq, kt * rk, rq, rk,
+                                          w8, R)
+    ss = []
+    for mode in range(num_modes):
+        s = jax.lax.dot_general(
+            q_ref[mode], k_ref[mode],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = jnp.clip(s, -clip_val, clip_val) + bias
+        ss.append(s)
+    logits = [agg_w * s + agg_b for s in ss]
+    mmax = logits[0]
+    for lg in logits[1:]:
+        mmax = jnp.maximum(mmax, lg)
+    exps = [jnp.exp(lg - mmax) for lg in logits]
+    denom = exps[0]
+    for e in exps[1:]:
+        denom = denom + e
+    acc = exps[0] * ss[0]
+    for e, s in zip(exps[1:], ss[1:]):
+        acc = acc + e * s
+    out_ref[:] = acc / denom
+
+
+def fused_agg_corr_mt(q, k, biases, grid_hw, clip_val, pos_w, agg_w, agg_b,
+                      interpret=False):
+    """fused_agg_corr with in-kernel sliding-bias assembly (U1 == U2 ==
+    H8*W8)."""
+    M, U1, md = q.shape
+    H8, W8 = grid_hw
+    U2 = k.shape[1]
+    assert U1 == H8 * W8 and U2 == U1
+    R = (biases.shape[0] - 1) // 2
+    scale = 1.0 / (md ** 0.5)
+    rq = max(1, 256 // W8)
+    rk = max(1, 512 // W8)
+    tq, tk = rq * W8, rk * W8
+    U1p = ((U1 + tq - 1) // tq) * tq
+    U2p = ((U2 + tk - 1) // tk) * tk
+    qp = _pad_to(q, U1p, 1).astype(jnp.float32)
+    kp = _pad_to(k, U2p, 1).astype(jnp.float32)
+    mtable = make_rowbias_table(biases, W8)
+    scal = jnp.asarray([clip_val, pos_w, agg_w, agg_b], jnp.float32)
+
+    grid = (U1p // tq, U2p // tk)
+    out = pl.pallas_call(
+        functools.partial(_agg_corr_kernel_mt, scale=scale, num_modes=M,
+                          rq=rq, rk=rk, w8=W8, R=R),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((M, tq, md), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, tk, md), lambda i, j: (0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * R + 1, W8, W8), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tq, tk), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((U1p, U2p), jnp.float32),
+        interpret=interpret,
+    )(qp, kp, mtable, scal)
+    return out[:U1, :U2]
 
 
 # ---------------------------------------------------------------------------

@@ -146,6 +146,11 @@ def convert_torch_state(torch_state: Mapping[str, np.ndarray],
     new_vars = {}
     missing = []
     for col, tree in variables.items():
+        if col not in ("params", "batch_stats"):
+            # Non-weight collections (diagnostics/intermediates sow targets)
+            # pass through untouched.
+            new_vars[col] = tree
+            continue
         flat = flatten_dict(tree)
         new_flat = {}
         for path, leaf in flat.items():

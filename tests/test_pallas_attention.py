@@ -90,3 +90,70 @@ def test_flash_uneven_padding(rng):
     p = p / p.sum(-1, keepdims=True)
     want = np.einsum("mij,mjf->mif", p, v)
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_rowbias_table_matches_dense(rng):
+    import jax.numpy as jnp
+    from craft_tpu.nn.setrans import sliding_pos_biases
+    from craft_tpu.ops.pallas.mode_attention import make_rowbias_table
+
+    H8, W8, R = 5, 16, 3
+    biases = rng.randn(2 * R + 1, 2 * R + 1).astype(np.float32)
+    dense = np.asarray(sliding_pos_biases(jnp.asarray(biases), H8, W8))
+    M = np.asarray(make_rowbias_table(jnp.asarray(biases), W8))
+    # dense[(qi*W8+qj), (kh*W8+kw)] must equal M[kh-qi+R][qj, kw] (0 outside).
+    for qi in range(H8):
+        for kh in range(H8):
+            d = kh - qi
+            blk = dense[qi * W8:(qi + 1) * W8, kh * W8:(kh + 1) * W8]
+            if abs(d) <= R:
+                np.testing.assert_allclose(blk, M[d + R], atol=0)
+            else:
+                assert np.all(blk == 0)
+
+
+def test_flash_mt_matches_dense_bias(rng):
+    import jax.numpy as jnp
+    from craft_tpu.nn.setrans import sliding_pos_biases
+    from craft_tpu.ops.pallas.mode_attention import (flash_mode_attention,
+                                                     flash_mode_attention_mt)
+
+    H8, W8, R = 6, 32, 2
+    U = H8 * W8
+    M_, md, F = 2, 16, 32
+    q = rng.randn(M_, U, md).astype(np.float32)
+    k = rng.randn(M_, U, md).astype(np.float32)
+    v = rng.randn(M_, U, F).astype(np.float32)
+    biases = rng.randn(2 * R + 1, 2 * R + 1).astype(np.float32)
+    dense = sliding_pos_biases(jnp.asarray(biases), H8, W8)
+
+    want = np.asarray(flash_mode_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), dense, 4.0, 0.5,
+        tq=64, tk=64, interpret=True))
+    got = np.asarray(flash_mode_attention_mt(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(biases),
+        (H8, W8), 4.0, 0.5, interpret=True))
+    np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_agg_corr_mt_matches_dense_bias(rng):
+    import jax.numpy as jnp
+    from craft_tpu.nn.setrans import sliding_pos_biases
+    from craft_tpu.ops.pallas.mode_attention import (fused_agg_corr,
+                                                     fused_agg_corr_mt)
+
+    H8, W8, R = 5, 24, 3
+    U = H8 * W8
+    M_, md = 4, 16
+    q = rng.randn(M_, U, md).astype(np.float32)
+    k = rng.randn(M_, U, md).astype(np.float32)
+    biases = rng.randn(2 * R + 1, 2 * R + 1).astype(np.float32)
+    dense = sliding_pos_biases(jnp.asarray(biases), H8, W8)
+
+    want = np.asarray(fused_agg_corr(
+        jnp.asarray(q), jnp.asarray(k), dense, 3.0, 0.5, 0.7, -0.2,
+        tq=64, tk=64, interpret=True))
+    got = np.asarray(fused_agg_corr_mt(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(biases), (H8, W8),
+        3.0, 0.5, 0.7, -0.2, interpret=True))
+    np.testing.assert_allclose(got, want, atol=3e-4)
