@@ -56,6 +56,7 @@ class SETransSiteConfig:
     # Dropout (reference defaults setrans.py:110-111).
     hidden_dropout_prob: float = 0.1
     attention_probs_dropout_prob: float = 0.2
+    drop_path_prob: float = 0.0  # stochastic depth (off by default)
 
     @property
     def mode_dim(self) -> int:

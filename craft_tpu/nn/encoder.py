@@ -45,6 +45,39 @@ class ResidualBlock(nn.Module):
         return nn.relu(x + y)
 
 
+class BottleneckBlock(nn.Module):
+    """1-3-1 bottleneck residual unit (reference extractor.py:67-122; defined
+    by the reference but unused by its encoders — provided for API parity)."""
+
+    planes: int
+    norm_fn: str = "group"
+    stride: int = 1
+    dtype: Any = jnp.float32
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        p4 = self.planes // 4
+        y = Conv(p4, (1, 1), padding="VALID", dtype=self.dtype,
+                 kernel_init=kaiming_normal_fanout_init, name="conv1")(x)
+        y = make_norm(self.norm_fn, p4, self.train, self.dtype)(y)
+        y = nn.relu(y)
+        y = Conv(p4, (3, 3), (self.stride, self.stride), dtype=self.dtype,
+                 kernel_init=kaiming_normal_fanout_init, name="conv2")(y)
+        y = make_norm(self.norm_fn, p4, self.train, self.dtype)(y)
+        y = nn.relu(y)
+        y = Conv(self.planes, (1, 1), padding="VALID", dtype=self.dtype,
+                 kernel_init=kaiming_normal_fanout_init, name="conv3")(y)
+        y = make_norm(self.norm_fn, self.planes, self.train, self.dtype)(y)
+        y = nn.relu(y)
+        if self.stride != 1:
+            x = Conv(self.planes, (1, 1), (self.stride, self.stride),
+                     dtype=self.dtype, kernel_init=kaiming_normal_fanout_init,
+                     name="downsample")(x)
+            x = make_norm(self.norm_fn, self.planes, self.train, self.dtype)(x)
+        return nn.relu(x + y)
+
+
 class BasicEncoder(nn.Module):
     """Stride-8 encoder (reference extractor.py:124-196).
 

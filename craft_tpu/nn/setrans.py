@@ -154,6 +154,17 @@ class InputFeatEncoder(nn.Module):
         return tokens
 
 
+def drop_path(x, rate: float, rng, deterministic: bool):
+    """Stochastic depth per sample (reference setrans.py:42-69; off by
+    default — drop_path_prob=0)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return x / keep * mask.astype(x.dtype)
+
+
 class LearnedSoftAggregate(nn.Module):
     """Learned softmax pooling over the modes axis (reference setrans.py:279-300).
 
@@ -487,6 +498,9 @@ class ExpandedFeatTrans(nn.Module):
         if cfg.has_input_skip:
             coeff = self.param("input_skip_coeff", nn.initializers.ones,
                                (1,), jnp.float32)
+            if cfg.drop_path_prob > 0 and not deterministic:
+                pooled = drop_path(pooled, cfg.drop_path_prob,
+                                   self.make_rng("dropout"), deterministic)
             pooled = coeff.astype(self.dtype) * input_feat + pooled
             pooled = LayerNorm(use_affine=False, dtype=self.dtype,
                                name="skip_layer_norm")(pooled)

@@ -17,14 +17,21 @@ U = H8 * W8
 M, md = 4, 64
 rng = np.random.RandomState(0)
 
-def timeit(name, fn, *args, n=5):
+def _sync(out):
+    # Force completion with one tiny device->host transfer per leaf
+    # (block_until_ready returns early through the axon tunnel).
+    return jax.tree.map(lambda x: np.asarray(x[(0,) * x.ndim]), out)
+
+
+def timeit(name, fn, *args, n=10):
     out = fn(*args)
-    _ = jax.tree.map(lambda x: float(jnp.sum(x.astype(jnp.float32))), out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    _ = jax.tree.map(lambda x: float(jnp.sum(x.astype(jnp.float32))), out)
-    print(f"{name:28s} {(time.perf_counter() - t0) / n * 1000:8.2f} ms")
+    _sync(out)
+    dt = (time.perf_counter() - t0) / n
+    print(f"{name:30s} {dt * 1000:8.2f} ms")
     return out
 
 biases = jnp.asarray(rng.randn(15, 15).astype(np.float32))

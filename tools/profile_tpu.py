@@ -27,13 +27,19 @@ H, W = 440, 1024
 H8, W8 = H // 8, W // 8
 rng = np.random.RandomState(0)
 
-def timeit(name, fn, *args, n=5):
+def _sync(out):
+    # Force completion with one tiny device->host transfer per leaf
+    # (block_until_ready returns early through the axon tunnel).
+    return jax.tree.map(lambda x: np.asarray(x[(0,) * x.ndim]), out)
+
+
+def timeit(name, fn, *args, n=10):
     out = fn(*args)
-    _ = jax.tree.map(lambda x: float(jnp.sum(x.astype(jnp.float32))), out)  # sync
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    _ = jax.tree.map(lambda x: float(jnp.sum(x.astype(jnp.float32))), out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / n
     print(f"{name:30s} {dt * 1000:8.2f} ms")
     return out
