@@ -116,24 +116,34 @@ class FlowModel(nn.Module):
         fmaps = fnet(jnp.concatenate([image1, image2], axis=0))
         fmap1, fmap2 = fmaps[:B], fmaps[B:]
 
+        # Rematerialize the attention sites when training: their [M, U, U]
+        # score/prob tensors dominate activation memory (SURVEY.md §5.7);
+        # recomputing them in the backward pass keeps batch-6 crops on a
+        # 16 GB chip.
+        # static_argnums: `deterministic` must stay a Python bool under remat
+        # (arg 0 is the module itself).
+        SAVPT = nn.remat(SelfAttVisPosTrans, static_argnums=(2,)) \
+            if self.train else SelfAttVisPosTrans
+        TC = nn.remat(TransCorr, static_argnums=(5,)) if self.train \
+            else TransCorr
+
         fmap1o = fmap2o = None
         f2_module = None
         if cfg.f2trans != "none":
-            f2_module = SelfAttVisPosTrans(cfg.f2, dtype=cdt, name="f2_trans")
+            f2_module = SAVPT(cfg.f2, dtype=cdt, name="f2_trans")
         if cfg.arch == "craft":
             if cfg.f1trans != "none":
                 fmap1o = fmap1
                 if cfg.f1trans == "shared":
                     f1_module = f2_module  # same params, applied twice
                 else:
-                    f1_module = SelfAttVisPosTrans(cfg.f2, dtype=cdt,
-                                                   name="f1_trans")
-                fmap1 = f1_module(fmap1, deterministic=deterministic)
+                    f1_module = SAVPT(cfg.f2, dtype=cdt, name="f1_trans")
+                fmap1 = f1_module(fmap1, deterministic)
             if f2_module is not None:
                 fmap2o = fmap2
-                fmap2 = f2_module(fmap2, deterministic=deterministic)
+                fmap2 = f2_module(fmap2, deterministic)
         elif cfg.arch == "craft_nogma" and f2_module is not None:
-            fmap2 = f2_module(fmap2, deterministic=deterministic)
+            fmap2 = f2_module(fmap2, deterministic)
 
         fmap1 = fmap1.astype(jnp.float32)
         fmap2 = fmap2.astype(jnp.float32)
@@ -152,8 +162,8 @@ class FlowModel(nn.Module):
         attention = None
         if cfg.arch == "craft":
             if cfg.use_setrans:
-                attention = SelfAttVisPosTrans(cfg.intra, dtype=cdt, name="att")(
-                    inp, deterministic=deterministic)  # [B, M, U, U] probs
+                attention = SAVPT(cfg.intra, dtype=cdt, name="att")(
+                    inp, deterministic)  # [B, M, U, U] probs
             else:
                 attention = Attention(
                     dim=cdim, max_pos_size=cfg.gma_max_pos_size,
@@ -164,8 +174,8 @@ class FlowModel(nn.Module):
 
         # --- correlation volume (fp32 island) ---
         if cfg.craft:
-            vol = TransCorr(cfg, dtype=cdt, name="corr_fn")(
-                fmap1, fmap2, fmap1o, fmap2o, deterministic=deterministic)
+            vol = TC(cfg, dtype=cdt, name="corr_fn")(
+                fmap1, fmap2, fmap1o, fmap2o, deterministic)
             pyramid = build_pyramid(vol, B, H8, W8, cfg.corr_levels,
                                     cfg.corr_radius, do_global_norm=True)
         else:

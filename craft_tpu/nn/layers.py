@@ -132,10 +132,15 @@ class InstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-        var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
-        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        # Stats in fp32 (accumulated over H*W), normalization applied in the
+        # compute dtype — avoids materializing full fp32 copies of bf16
+        # activations (the stats are per-(sample, channel) scalars).
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True,
+                        dtype=jnp.float32)
+        var = jnp.mean(jnp.square(x.astype(jnp.float32) - mean),
+                       axis=(1, 2), keepdims=True)
+        scale = jax.lax.rsqrt(var + self.epsilon)
+        y = (x.astype(jnp.float32) - mean) * scale
         return y.astype(self.dtype)
 
 

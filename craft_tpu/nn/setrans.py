@@ -384,6 +384,27 @@ class CrossAttFeatTrans(nn.Module):
                                               name="attn_softaggr")(scores)
             return scores
 
+        if (use_pallas and cfg.out_attn_probs_only and structured
+                and not self.is_mutable_collection("intermediates")):
+            # Intra-attention probs without materializing fp32 scores.
+            from craft_tpu.ops.pallas.mode_attention import (
+                mode_softmax_probs_mt, scores_global_max)
+            qf = q.astype(jnp.float32)
+            kf = k.astype(jnp.float32)
+            gmax = jnp.max(jax.vmap(
+                lambda qq, kk: scores_global_max(qq, kk, 1.0 / math.sqrt(md),
+                                                 interpret=interp)
+            )(qf, kf))
+            clip_val = jnp.where(gmax > cfg.attn_clip, cfg.attn_clip, 1e30)
+            grid_hw = (pos_biases.H, pos_biases.W)
+            if M > 1:
+                LearnedSoftAggregate(1, keepdim=True, dtype=jnp.float32,
+                                     name="attn_softaggr").scalar_wb()
+            return jax.vmap(lambda qq, kk: mode_softmax_probs_mt(
+                qq, kk, pos_biases.biases, grid_hw, clip_val,
+                cfg.pos_code_weight, out_dtype=self.dtype,
+                interpret=interp))(qf, kf)
+
         probs = nn.softmax(scores, axis=-1).astype(self.dtype)
         # Attention dump hook: apply(..., mutable=['intermediates']) captures
         # these (the reference's SAVEF2 env hook, setrans.py:603-612, done the

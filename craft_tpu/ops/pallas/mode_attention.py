@@ -385,6 +385,96 @@ def fused_agg_corr_mt(q, k, biases, grid_hw, clip_val, pos_w, agg_w, agg_b,
 
 
 # ---------------------------------------------------------------------------
+# Kernel 2b: blockwise softmax probabilities (intra-frame attention)
+# ---------------------------------------------------------------------------
+#
+# The intra site must *materialize* probs (they are reused by the aggregator
+# every refinement iteration, update.py:129-156), but the XLA path also
+# materializes the fp32 scores first.  This kernel computes row max/sum in a
+# stats phase (no writes), then writes normalized probs directly in the output
+# dtype — the [M, U, U] fp32 scores never exist.
+
+def _probs_kernel_mt(q_ref, k_ref, m_ref, clip_ref, out_ref, mx_ref, l_ref,
+                     *, scale, pos_w, nkv, rq, rk, w8, R, u2_valid):
+    it = pl.program_id(1)
+    ph = pl.program_id(2)
+    kt = pl.program_id(3)
+
+    @pl.when((ph == 0) & (kt == 0))
+    def _():
+        mx_ref[:] = jnp.full_like(mx_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    clip_val = clip_ref[0]
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    s = jnp.clip(s, -clip_val, clip_val)
+    s = s + pos_w * _bias_tile_from_mtable(m_ref, it * rq, kt * rk, rq, rk,
+                                           w8, R)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kt * (rk * w8)
+    s = jnp.where(col < u2_valid, s, NEG_INF)
+
+    @pl.when(ph == 0)
+    def _():
+        m_prev = mx_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        l_ref[:] = l_ref[:] * jnp.exp(m_prev - m_new) + \
+            jnp.sum(jnp.exp(s - m_new), axis=1, keepdims=True)
+        mx_ref[:] = m_new
+
+    @pl.when(ph == 1)
+    def _():
+        out_ref[0] = (jnp.exp(s - mx_ref[:]) / l_ref[:]).astype(out_ref.dtype)
+
+
+def mode_softmax_probs_mt(q, k, biases, grid_hw, clip_val, pos_w,
+                          out_dtype=jnp.bfloat16, interpret=False):
+    """probs[m] = softmax(clamp(scale q_m k_m^T) + pos_w * bias) without ever
+    materializing fp32 scores.  Returns [M, U, U] in out_dtype."""
+    M, U1, md = q.shape
+    H8, W8 = grid_hw
+    U2 = k.shape[1]
+    assert U1 == H8 * W8 and U2 == U1
+    R = (biases.shape[0] - 1) // 2
+    scale = 1.0 / (md ** 0.5)
+    rq = max(1, 256 // W8)
+    rk = max(1, 512 // W8)
+    tq, tk = rq * W8, rk * W8
+    U1p = ((U1 + tq - 1) // tq) * tq
+    U2p = ((U2 + tk - 1) // tk) * tk
+    qp = _pad_to(q, U1p, 1).astype(jnp.float32)
+    kp = _pad_to(k, U2p, 1).astype(jnp.float32)
+    mtable = make_rowbias_table(biases, W8)
+
+    nkv = U2p // tk
+    grid = (M, U1p // tq, 2, nkv)
+    out = pl.pallas_call(
+        functools.partial(_probs_kernel_mt, scale=scale, pos_w=pos_w,
+                          nkv=nkv, rq=rq, rk=rk, w8=W8, R=R, u2_valid=U2),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tq, md), lambda m, i, p, j: (m, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, md), lambda m, i, p, j: (m, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * R + 1, W8, W8), lambda m, i, p, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, tk), lambda m, i, p, j: (m, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, U1p, U2p), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tq, 1), jnp.float32),
+            pltpu.VMEM((tq, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, mtable, jnp.asarray([clip_val], jnp.float32))
+    return out[:, :U1, :U2]
+
+
+# ---------------------------------------------------------------------------
 # Kernel 3: fused attentional-correlation volume
 # ---------------------------------------------------------------------------
 

@@ -157,3 +157,27 @@ def test_agg_corr_mt_matches_dense_bias(rng):
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(biases), (H8, W8),
         3.0, 0.5, 0.7, -0.2, interpret=True))
     np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_mode_softmax_probs_mt(rng):
+    import jax.numpy as jnp
+    from craft_tpu.nn.setrans import sliding_pos_biases
+    from craft_tpu.ops.pallas.mode_attention import mode_softmax_probs_mt
+
+    H8, W8, R = 4, 32, 2
+    U = H8 * W8
+    M_, md = 4, 8
+    q = rng.randn(M_, U, md).astype(np.float32)
+    k = rng.randn(M_, U, md).astype(np.float32)
+    biases = rng.randn(2 * R + 1, 2 * R + 1).astype(np.float32)
+    dense = np.asarray(sliding_pos_biases(jnp.asarray(biases), H8, W8))
+
+    got = np.asarray(mode_softmax_probs_mt(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(biases), (H8, W8),
+        2.0, 1.0, out_dtype=jnp.float32, interpret=True))
+
+    s = np.einsum("mid,mjd->mij", q, k) / np.sqrt(md)
+    s = np.clip(s, -2.0, 2.0) + dense[None]
+    p = np.exp(s - s.max(-1, keepdims=True))
+    want = p / p.sum(-1, keepdims=True)
+    np.testing.assert_allclose(got, want, atol=2e-4)
