@@ -21,12 +21,18 @@ from craft_tpu.ops.geometry import avg_pool2x2, bilinear_sample
 
 
 class CorrPyramid(NamedTuple):
-    """Correlation pyramid + metadata, carried through the refinement scan."""
-    levels: tuple  # tuple of [B*H1*W1, h2_i, w2_i, D] arrays
+    """Correlation pyramid + metadata, carried through the refinement scan.
+
+    Levels are stored 3-D as [B*H1*W1, h2_i, w2_i * D] (D folded into the lane
+    axis) — a trailing size-1 D axis would force a physical relayout copy of
+    the whole level on every scan iteration (T(8,128) tiling).
+    """
+    levels: tuple  # tuple of [B*H1*W1, h2_i, w2_i * D] arrays
     batch: int
     h1: int
     w1: int
     radius: int
+    dim: int = 1  # D
 
     def lookup(self, coords: jnp.ndarray) -> jnp.ndarray:
         return corr_lookup(self, coords)
@@ -89,21 +95,23 @@ def build_pyramid(
         v = global_layer_norm(v)
         corr = v.reshape(B, D, U1, U2).transpose(0, 2, 1, 3)
 
-    base = corr.reshape(B * U1, D, h2, w2).transpose(0, 2, 3, 1)  # [BU1, h2, w2, D]
-    levels = [base]
-    for _ in range(num_levels - 1):
-        prev = levels[-1]
-        if D == 1:
-            # Pool on [Q, h, w] so the lane dimension stays w (128-wide at
-            # Sintel size) instead of the size-1 D axis.
-            p = jax.lax.reduce_window(
-                prev[..., 0], 0.0, jax.lax.add, (1, 2, 2), (1, 2, 2),
-                "VALID") / 4.0
-            levels.append(p[..., None])
-        else:
-            levels.append(avg_pool2x2(prev))
+    if D == 1:
+        base = corr.reshape(B * U1, h2, w2)  # free reshape
+        levels = [base]
+        for _ in range(num_levels - 1):
+            levels.append(jax.lax.reduce_window(
+                levels[-1], 0.0, jax.lax.add, (1, 2, 2), (1, 2, 2),
+                "VALID") / 4.0)
+    else:
+        base4 = corr.reshape(B * U1, D, h2, w2).transpose(0, 2, 3, 1)
+        levels4 = [base4]
+        for _ in range(num_levels - 1):
+            levels4.append(avg_pool2x2(levels4[-1]))
+        levels = [l.reshape(l.shape[0], l.shape[1], l.shape[2] * D)
+                  for l in levels4]
     levels = [l.astype(level_dtype) for l in levels]
-    return CorrPyramid(levels=tuple(levels), batch=batch, h1=h1, w1=w1, radius=radius)
+    return CorrPyramid(levels=tuple(levels), batch=batch, h1=h1, w1=w1,
+                       radius=radius, dim=D)
 
 
 def plain_corr_pyramid(
@@ -157,16 +165,16 @@ def corr_lookup_mxu(pyr: CorrPyramid, coords: jnp.ndarray) -> jnp.ndarray:
     flat = coords.reshape(Q, 2)
 
     out = []
+    D = pyr.dim
     for i, level in enumerate(pyr.levels):
-        h2, w2, D = level.shape[1], level.shape[2], level.shape[3]
+        h2, w2 = level.shape[1], level.shape[2] // D
         base = flat / (2.0 ** i)
         # Weights in the level's dtype so bf16 levels hit the bf16 MXU path
         # (accumulation stays fp32 via preferred_element_type).
         Wx = _hat_weights(base[:, 0], r, w2).astype(level.dtype)
         Wy = _hat_weights(base[:, 1], r, h2).astype(level.dtype)
-        lvl = level.reshape(Q, h2, w2 * D)
         # [Q, n, h2] @ [Q, h2, w2*D] -> [Q, n, w2*D]
-        rows = jnp.einsum("qjh,qhx->qjx", Wy, lvl,
+        rows = jnp.einsum("qjh,qhx->qjx", Wy, level,
                           preferred_element_type=jnp.float32)
         rows = rows.astype(level.dtype).reshape(Q, n, w2, D)
         # [Q, n_i, w2] . [Q, n_j, w2, D] -> [Q, D, n_i, n_j]
@@ -192,8 +200,9 @@ def corr_lookup_window(pyr: CorrPyramid, coords: jnp.ndarray) -> jnp.ndarray:
     offs = jnp.arange(-r, r + 1, dtype=jnp.float32)
 
     out = []
+    D = pyr.dim
     for i, level in enumerate(pyr.levels):
-        h2, w2, D = level.shape[1], level.shape[2], level.shape[3]
+        h2, w2 = level.shape[1], level.shape[2] // D
         base = flat / (2.0 ** i)
         bx, by = base[:, 0], base[:, 1]
 
@@ -212,9 +221,8 @@ def corr_lookup_window(pyr: CorrPyramid, coords: jnp.ndarray) -> jnp.ndarray:
         wy, sy = window_weights(by, h2)  # [Q, n, w], [Q]
         wx, sx = window_weights(bx, w2)
 
-        lvl = level.reshape(Q, h2, w2 * D)
         ridx = jnp.clip(sy[:, None] + jnp.arange(w)[None], 0, h2 - 1)
-        rows = jnp.take_along_axis(lvl, ridx[:, :, None], axis=1)  # [Q,w,w2D]
+        rows = jnp.take_along_axis(level, ridx[:, :, None], axis=1)  # [Q,w,w2D]
         rows = jnp.einsum("qjt,qtx->qjx", wy, rows,
                           preferred_element_type=jnp.float32)
         rows = rows.reshape(Q, n, w2, D)
@@ -250,12 +258,14 @@ def corr_lookup_gather(pyr: CorrPyramid, coords: jnp.ndarray) -> jnp.ndarray:
     flat_coords = coords.reshape(B * H1 * W1, 1, 1, 2)
 
     out = []
+    D = pyr.dim
     for i, level in enumerate(pyr.levels):
+        level = level.reshape(level.shape[0], level.shape[1],
+                              level.shape[2] // D, D)
         centroid = flat_coords / (2.0 ** i)
         window = centroid + delta[None]  # [BU1, n, n, 2]
         # level: [BU1, h2, w2, D] -> sampled [BU1, n, n, D]
         sampled = bilinear_sample(level, window)
-        D = level.shape[-1]
         # Reference channel layout within a level: view(batch,h1,w1,-1) of
         # [BU1, D, n, n] (NCHW) => order (D, wx, wy).
         sampled = sampled.transpose(0, 3, 1, 2).reshape(B, H1, W1, D * n * n)
