@@ -81,6 +81,22 @@ def _iter_pairs(dataset, max_val_count=-1):
         yield dataset[i]
 
 
+def _iter_batches(dataset, batch_size, max_val_count=-1):
+    """Group consecutive same-shape items into batches (the reference's
+    DataLoader batch eval, evaluate.py:469-472)."""
+    buf = []
+    for item in _iter_pairs(dataset, max_val_count):
+        if buf and item["image1"].shape != buf[0]["image1"].shape:
+            yield buf
+            buf = []
+        buf.append(item)
+        if len(buf) == batch_size:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
 def validate_chairs(cfg, variables, iters=12, data_root="datasets",
                     xy_shift=None, max_val_count=-1) -> Dict[str, float]:
     """FlyingChairs validation split EPE (reference evaluate.py:247-280)."""
@@ -105,26 +121,37 @@ def validate_chairs(cfg, variables, iters=12, data_root="datasets",
 
 
 def _validate_dense(cfg, variables, dataset, name, iters=12, xy_shift=None,
-                    max_val_count=-1, pad_mode="sintel") -> Dict[str, float]:
+                    max_val_count=-1, pad_mode="sintel",
+                    batch_size=1) -> Dict[str, float]:
     """Shared dense-GT validation loop (sintel/things/slowflow pattern,
-    reference evaluate.py:444-602)."""
+    reference evaluate.py:444-602).  batch_size>1 batches consecutive
+    same-shape pairs through one jitted forward."""
     evaluator = Evaluator(cfg, variables, iters=iters)
     epe_list, mag_list = [], []
     off = np.array(xy_shift, np.float32) if xy_shift else np.zeros(2, np.float32)
-    for item in _iter_pairs(dataset, max_val_count):
-        img1, img2, gt = item["image1"], item["image2"], item["flow"]
-        mask = np.ones(gt.shape[:2], bool)
-        if xy_shift is not None and tuple(xy_shift) != (0, 0):
-            img1, gt, mask = shift_pixels(img1, gt, None, *xy_shift)
-            mask = mask.astype(bool)
-        padder = InputPadder((1,) + img1.shape, mode=pad_mode)
-        p1, p2 = padder.pad(*[np.asarray(x)[None] for x in (img1, img2)])
+    for items in _iter_batches(dataset, batch_size, max_val_count):
+        imgs1, imgs2, gts, masks = [], [], [], []
+        for item in items:
+            img1, img2, gt = item["image1"], item["image2"], item["flow"]
+            mask = np.ones(gt.shape[:2], bool)
+            if xy_shift is not None and tuple(xy_shift) != (0, 0):
+                img1, gt, mask = shift_pixels(img1, gt, None, *xy_shift)
+                mask = mask.astype(bool)
+            imgs1.append(img1)
+            imgs2.append(img2)
+            gts.append(gt)
+            masks.append(mask)
+        b1 = np.stack(imgs1)
+        b2 = np.stack(imgs2)
+        padder = InputPadder(b1.shape, mode=pad_mode)
+        p1, p2 = padder.pad(b1, b2)
         _, flows = evaluator(np.asarray(p1), np.asarray(p2))
-        flow = np.asarray(padder.unpad(flows[-1]))[0]
-        epe = np.sqrt(((flow - gt) ** 2).sum(-1))[mask]
-        mag = np.sqrt(((gt + off) ** 2).sum(-1))[mask]
-        epe_list.append(epe.reshape(-1))
-        mag_list.append(mag.reshape(-1))
+        flow_b = np.asarray(padder.unpad(flows[-1]))
+        for flow, gt, mask in zip(flow_b, gts, masks):
+            epe = np.sqrt(((flow - gt) ** 2).sum(-1))[mask]
+            mag = np.sqrt(((gt + off) ** 2).sum(-1))[mask]
+            epe_list.append(epe.reshape(-1))
+            mag_list.append(mag.reshape(-1))
     epe_all = np.concatenate(epe_list)
     mag_all = np.concatenate(mag_list)
     res = {
@@ -142,15 +169,16 @@ def _validate_dense(cfg, variables, dataset, name, iters=12, xy_shift=None,
 
 
 def validate_sintel(cfg, variables, iters=12, data_root="datasets",
-                    dstype="both", xy_shift=None,
-                    max_val_count=-1) -> Dict[str, float]:
+                    dstype="both", xy_shift=None, max_val_count=-1,
+                    batch_size=1) -> Dict[str, float]:
     dstypes = ["clean", "final"] if dstype == "both" else [dstype]
     results = {}
     for dt in dstypes:
         dataset = ds.MpiSintel(split="training", dstype=dt,
                                root=f"{data_root}/Sintel")
         results.update(_validate_dense(cfg, variables, dataset, f"sintel_{dt}",
-                                       iters, xy_shift, max_val_count))
+                                       iters, xy_shift, max_val_count,
+                                       batch_size=batch_size))
     return results
 
 
@@ -208,6 +236,7 @@ def validate_things(cfg, variables, iters=12, data_root="datasets",
             val_filter_file=f"{data_root}/things_val_test_set.txt")
         results.update(_validate_dense(cfg, variables, dataset, f"things_{dt}",
                                        iters, xy_shift, max_val_count))
+
     return results
 
 

@@ -184,6 +184,59 @@ def corr_lookup_mxu(pyr: CorrPyramid, coords: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(out, axis=-1).astype(jnp.float32)
 
 
+def corr_lookup_lerp(pyr: CorrPyramid, coords: jnp.ndarray) -> jnp.ndarray:
+    """Matmul-free windowed lookup: aligned row/column gathers + constant-
+    fraction lerps.
+
+    Because all (2r+1) taps of a query share the same fractional offset, the
+    bilinear combination collapses to ONE lerp between adjacent gathered
+    rows/columns — no per-query interpolation matrices, no MXU-latency-bound
+    tiny batched matmuls (which dominate corr_lookup_mxu).  Out-of-bounds rows
+    are zero-masked, reproducing grid_sample zero padding exactly.
+    """
+    r = pyr.radius
+    B, H1, W1, _ = coords.shape
+    n = 2 * r + 1
+    w = n + 1
+    Q = B * H1 * W1
+    D = pyr.dim
+    flat = coords.reshape(Q, 2)
+    t_idx = jnp.arange(w)
+
+    out = []
+    for i, level in enumerate(pyr.levels):
+        h2, w2 = level.shape[1], level.shape[2] // D
+        base = flat / (2.0 ** i)
+        bx, by = base[:, 0], base[:, 1]
+
+        # --- y pass: gather w aligned rows, zero-mask OOB, lerp ---
+        y0 = jnp.floor(by)
+        fy = (by - y0).astype(level.dtype)[:, None, None]
+        ridx = y0.astype(jnp.int32)[:, None] - r + t_idx[None]  # [Q, w]
+        rvalid = ((ridx >= 0) & (ridx < h2))
+        g = jnp.take_along_axis(level, jnp.clip(ridx, 0, h2 - 1)[:, :, None],
+                                axis=1)  # [Q, w, w2*D]
+        g = g * rvalid[:, :, None].astype(level.dtype)
+        rows = (1 - fy) * g[:, :n] + fy * g[:, 1:]  # [Q, n, w2*D]
+
+        # --- x pass: transpose so columns land on sublanes, gather, lerp ---
+        rows = rows.reshape(Q, n, w2, D).transpose(0, 2, 1, 3)  # [Q,w2,n,D]
+        rows = rows.reshape(Q, w2, n * D)
+        x0 = jnp.floor(bx)
+        fx = (bx - x0).astype(level.dtype)[:, None, None]
+        cidx = x0.astype(jnp.int32)[:, None] - r + t_idx[None]
+        cvalid = ((cidx >= 0) & (cidx < w2))
+        gc = jnp.take_along_axis(rows, jnp.clip(cidx, 0, w2 - 1)[:, :, None],
+                                 axis=1)  # [Q, w, n*D]
+        gc = gc * cvalid[:, :, None].astype(level.dtype)
+        cols = (1 - fx) * gc[:, :n] + fx * gc[:, 1:]  # [Q, n_i, n_j*D]
+
+        # layout: cols[q, i, j, d] -> reference channel order (d, i, j).
+        win = cols.reshape(Q, n, n, D).transpose(0, 3, 1, 2)
+        out.append(win.reshape(B, H1, W1, D * n * n).astype(jnp.float32))
+    return jnp.concatenate(out, axis=-1)
+
+
 def corr_lookup_window(pyr: CorrPyramid, coords: jnp.ndarray) -> jnp.ndarray:
     """Windowed lookup via row/column window gathers + small hat matmuls.
 

@@ -7,8 +7,8 @@ jax = setup_jax()
 import jax.numpy as jnp
 import numpy as np
 
-from craft_tpu.ops.corr import (CorrPyramid, build_pyramid, corr_lookup_mxu,
-                                corr_lookup_window)
+from craft_tpu.ops.corr import (CorrPyramid, build_pyramid, corr_lookup_lerp,
+                                corr_lookup_mxu, corr_lookup_window)
 from craft_tpu.ops.geometry import coords_grid
 
 H8, W8 = 55, 128
@@ -42,7 +42,10 @@ def scan12(lookup):
 
 coords = coords_grid(1, H8, W8)
 timeit("12x mxu lookup", scan12(corr_lookup_mxu), pyr.levels, coords)
-timeit("12x window lookup", scan12(corr_lookup_window), pyr.levels, coords)
+timeit("12x lerp lookup", scan12(corr_lookup_lerp), pyr.levels, coords)
+
+pyr16 = build_pyramid(vol, 1, H8, W8, 4, 4, level_dtype=jnp.bfloat16)
+timeit("12x lerp lookup bf16", scan12(corr_lookup_lerp), pyr16.levels, coords)
 
 # floor: sum all levels once per iteration (pure stream)
 def stream_floor(levels, coords):
