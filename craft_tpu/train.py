@@ -117,11 +117,15 @@ def main(argv=None):
         shift_sigmas=args.shift_sigmas, data_root=args.data_root)
     print(f"Training with {len(dataset)} image pairs")
 
-    mesh = make_data_mesh()
-    n_dev = len(jax.devices())
     # Per-process batch stays --batch_size; it shards across local devices.
-    assert args.batch_size % n_dev == 0 or n_dev == 1, (
-        f"batch_size {args.batch_size} not divisible by {n_dev} devices")
+    # Use the largest device count that divides the batch.
+    n_dev = len(jax.devices())
+    while args.batch_size % n_dev != 0:
+        n_dev -= 1
+    if n_dev != len(jax.devices()):
+        print(f"Using {n_dev}/{len(jax.devices())} devices "
+              f"(batch {args.batch_size} divisibility)")
+    mesh = make_data_mesh(jax.devices()[:n_dev])
     loader = ShardedLoader(dataset, args.batch_size,
                            num_workers=args.num_workers,
                            process_index=jax.process_index(),
