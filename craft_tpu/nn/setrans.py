@@ -288,6 +288,14 @@ class CrossAttFeatTrans(nn.Module):
         use_pallas = self._pallas_enabled(deterministic, attention_mask)
         interp = jax.default_backend() != "tpu"  # interpret kernels off-TPU
         structured = isinstance(pos_biases, SlidingBias)
+        if structured:
+            from craft_tpu.ops.pallas.mode_attention import mt_alignment_ok
+            # Mosaic tile alignment: fall back to the dense-bias kernels
+            # (padded internally) when W8-multiples don't align to (8, 128).
+            if not (mt_alignment_ok(pos_biases.W) or interp):
+                if use_pallas:
+                    pos_biases = pos_biases.dense()
+                structured = isinstance(pos_biases, SlidingBias)
         if use_pallas and cfg.out_attn_scores_only and M > 1:
             from craft_tpu.ops.pallas.mode_attention import (
                 fused_agg_corr, fused_agg_corr_mt, scores_global_max)

@@ -104,6 +104,20 @@ def scores_global_max(q, k, scale, tq=512, tk=512, interpret=False):
 # tile is assembled from rq x rk sub-blocks selected by d.  This removes the
 # ~200 MB dense-bias build + reads at Sintel size.
 
+def mt_tiles(w8: int):
+    rq = max(1, 256 // w8)
+    rk = max(1, 512 // w8)
+    return rq, rk
+
+
+def mt_alignment_ok(w8: int) -> bool:
+    """Mosaic requires block shapes divisible by (8, 128) in the last two
+    dims; the mtable kernels tile in multiples of W8.  Returns False when the
+    caller must fall back to the dense-bias kernels (which pad internally)."""
+    rq, rk = mt_tiles(w8)
+    return (rq * w8) % 8 == 0 and (rk * w8) % 128 == 0
+
+
 def make_rowbias_table(biases: jnp.ndarray, w8: int) -> jnp.ndarray:
     """[2R+1, 2R+1] window -> M [2R+1, W8, W8] with
     M[a, qj, kw] = biases[a, kw-qj+R] (0 outside)."""
