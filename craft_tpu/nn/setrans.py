@@ -296,7 +296,13 @@ class CrossAttFeatTrans(nn.Module):
                 if use_pallas:
                     pos_biases = pos_biases.dense()
                 structured = isinstance(pos_biases, SlidingBias)
-        if use_pallas and cfg.out_attn_scores_only and M > 1:
+        # The scores-only (correlation) site applies no dropout (reference
+        # setrans.py:544-550), so its Pallas forward is usable in TRAINING
+        # too via a custom VJP (Pallas forward + XLA backward) when the
+        # sliding bias is structured.
+        scores_pallas = (self._pallas_allowed(attention_mask)
+                         and (deterministic or structured))
+        if scores_pallas and cfg.out_attn_scores_only and M > 1:
             from craft_tpu.ops.pallas.mode_attention import (
                 fused_agg_corr, fused_agg_corr_mt, scores_global_max)
             agg = LearnedSoftAggregate(1, keepdim=True, dtype=jnp.float32,
@@ -304,17 +310,19 @@ class CrossAttFeatTrans(nn.Module):
             agg_w, agg_b = agg.scalar_wb()
             qf = q.astype(jnp.float32)
             kf = k.astype(jnp.float32)
-            gmax = jnp.max(jax.vmap(
+            gmax = jax.lax.stop_gradient(jnp.max(jax.vmap(
                 lambda qq, kk: scores_global_max(qq, kk, 1.0 / math.sqrt(md),
                                                  interpret=interp)
-            )(qf, kf))
+            )(jax.lax.stop_gradient(qf), jax.lax.stop_gradient(kf))))
             clip_val = jnp.where(gmax > cfg.attn_clip, cfg.attn_clip, 1e30)
             if structured:
+                from craft_tpu.ops.pallas.corr_vjp import fused_agg_corr_diff
                 grid_hw = (pos_biases.H, pos_biases.W)
-                vol = jax.vmap(lambda qq, kk: fused_agg_corr_mt(
-                    qq, kk, pos_biases.biases, grid_hw, clip_val,
-                    cfg.pos_code_weight, agg_w, agg_b, interpret=interp,
-                ))(qf, kf)
+                vol = jax.vmap(
+                    lambda qq, kk: fused_agg_corr_diff(
+                        qq, kk, pos_biases.biases, clip_val,
+                        cfg.pos_code_weight, agg_w, agg_b, grid_hw, interp),
+                )(qf, kf)
             else:
                 bias2d = None if pos_biases is None else \
                     pos_biases.astype(jnp.float32)
@@ -438,19 +446,21 @@ class CrossAttFeatTrans(nn.Module):
         return ExpandedFeatTrans(cfg, dtype=self.dtype, name="out_trans")(
             key_feat, probs, deterministic=deterministic)
 
-    def _pallas_enabled(self, deterministic: bool, attention_mask) -> bool:
+    def _pallas_allowed(self, attention_mask) -> bool:
         mode = self.cfg.use_pallas
-        if mode == "off":
+        if mode == "off" or attention_mask is not None:
             return False
-        if attention_mask is not None:
+        return mode == "on" or jax.default_backend() == "tpu"
+
+    def _pallas_enabled(self, deterministic: bool, attention_mask) -> bool:
+        if not self._pallas_allowed(attention_mask):
             return False
         if not deterministic:
-            # Training needs attention dropout + autodiff of the kernels —
-            # the XLA path handles both; fused training kernels are planned.
+            # The softmax paths need attention dropout + autodiff — the XLA
+            # path handles both (the dropout-free scores-only site trains
+            # through the Pallas forward via corr_vjp instead).
             return False
-        if mode == "on":
-            return True
-        return jax.default_backend() == "tpu"
+        return True
 
 
 class ExpandedFeatTrans(nn.Module):

@@ -13,7 +13,7 @@ import numpy as np
 from craft_tpu.config import craft_config
 from craft_tpu.training.train_step import create_train_state, make_train_step
 
-H, W, B = 368, 496, 8
+H, W, B = 368, 496, 4  # per-chip batch; reference ran 4/GPU on 24 GB cards
 cfg = craft_config(mixed_precision=True)
 state, tx, _ = create_train_state(cfg, jax.random.PRNGKey(0),
                                   image_shape=(H, W), lr=2.5e-4,
