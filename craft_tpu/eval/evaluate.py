@@ -121,12 +121,14 @@ def validate_chairs(cfg, variables, iters=12, data_root="datasets",
 
 
 def _validate_dense(cfg, variables, dataset, name, iters=12, xy_shift=None,
-                    max_val_count=-1, pad_mode="sintel",
-                    batch_size=1) -> Dict[str, float]:
+                    max_val_count=-1, pad_mode="sintel", batch_size=1,
+                    test_mode=1) -> Dict[str, float]:
     """Shared dense-GT validation loop (sintel/things/slowflow pattern,
     reference evaluate.py:444-602).  batch_size>1 batches consecutive
-    same-shape pairs through one jitted forward."""
-    evaluator = Evaluator(cfg, variables, iters=iters)
+    same-shape pairs through one jitted forward; test_mode=2 additionally
+    reports per-iteration EPE curves (reference :317-323)."""
+    evaluator = Evaluator(cfg, variables, iters=iters, test_mode=test_mode)
+    iter_epes: Dict[int, list] = {}
     epe_list, mag_list = [], []
     off = np.array(xy_shift, np.float32) if xy_shift else np.zeros(2, np.float32)
     for items in _iter_batches(dataset, batch_size, max_val_count):
@@ -146,6 +148,12 @@ def _validate_dense(cfg, variables, dataset, name, iters=12, xy_shift=None,
         padder = InputPadder(b1.shape, mode=pad_mode)
         p1, p2 = padder.pad(b1, b2)
         _, flows = evaluator(np.asarray(p1), np.asarray(p2))
+        if test_mode == 2:
+            for it, fl in enumerate(flows):
+                fb = np.asarray(padder.unpad(fl))
+                for flow, gt, mask in zip(fb, gts, masks):
+                    e = np.sqrt(((flow - gt) ** 2).sum(-1))[mask]
+                    iter_epes.setdefault(it, []).append(e.reshape(-1))
         flow_b = np.asarray(padder.unpad(flows[-1]))
         for flow, gt, mask in zip(flow_b, gts, masks):
             epe = np.sqrt(((flow - gt) ** 2).sum(-1))[mask]
@@ -165,6 +173,11 @@ def _validate_dense(cfg, variables, dataset, name, iters=12, xy_shift=None,
     print(f"Validation ({name}) EPE: {res[f'{name}_epe']:.6f}, "
           f"1px: {res[f'{name}_1px']:.4f}, 3px: {res[f'{name}_3px']:.4f}, "
           f"5px: {res[f'{name}_5px']:.4f}")
+    if test_mode == 2:
+        for it in sorted(iter_epes):
+            e = float(np.concatenate(iter_epes[it]).mean())
+            res[f"{name}_iter{it}_epe"] = e
+            print(f"  Iter {it}, EPE: {e:.6f}")
     return res
 
 

@@ -121,6 +121,21 @@ class Dense(nn.Module):
         )(x)
 
 
+def lean_dropout(x, rate: float, rng):
+    """Memory-lean dropout for huge tensors (the [B, M, U, U] attention
+    probs): one uint32 bits tensor compared against an integer threshold —
+    the standard uniform-float path materializes ~6 full-size temporaries
+    (bit twiddling + conversions), which OOMs training at Sintel-scale
+    attention sizes.
+    """
+    if rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    thresh = jnp.uint32(min(int(keep * (2 ** 32)), 2 ** 32 - 1))
+    bits = jax.random.bits(rng, x.shape, jnp.uint32)
+    return jnp.where(bits < thresh, x / keep, jnp.zeros((), x.dtype))
+
+
 class InstanceNorm(nn.Module):
     """torch InstanceNorm2d(affine=False, track_running_stats=False) parity.
 

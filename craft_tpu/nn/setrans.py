@@ -426,8 +426,10 @@ class CrossAttFeatTrans(nn.Module):
         # these (the reference's SAVEF2 env hook, setrans.py:603-612, done the
         # flax way — zero cost unless the collection is made mutable).
         self.sow("intermediates", "attn_probs", probs)
-        probs = nn.Dropout(rate=cfg.attention_probs_dropout_prob)(
-            probs, deterministic=deterministic)
+        if not deterministic and cfg.attention_probs_dropout_prob > 0:
+            from craft_tpu.nn.layers import lean_dropout
+            probs = lean_dropout(probs, cfg.attention_probs_dropout_prob,
+                                 self.make_rng("dropout"))
 
         if cfg.out_attn_probs_only:
             if M > 1:

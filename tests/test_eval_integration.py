@@ -113,3 +113,18 @@ def test_sintel_submission_synthetic(tmp_path_factory, rng, raft_setup):
     flo = read_flo(os.path.join(out, "clean", "alley_1", "frame0001.flo"))
     assert flo.shape == (64, 128, 2)
     assert np.isfinite(flo).all()
+
+
+def test_validate_sintel_per_iteration(tmp_path_factory, rng, raft_setup):
+    from craft_tpu.eval.evaluate import _validate_dense
+    from craft_tpu.data import datasets as ds
+
+    cfg, variables = raft_setup
+    root = str(tmp_path_factory.mktemp("data"))
+    _write_sintel(os.path.join(root, "Sintel"), rng, scenes=("alley_1",),
+                  frames=2)
+    dataset = ds.MpiSintel(split="training", dstype="clean",
+                           root=os.path.join(root, "Sintel"))
+    res = _validate_dense(cfg, variables, dataset, "s", iters=3, test_mode=2)
+    assert "s_iter0_epe" in res and "s_iter2_epe" in res
+    assert np.isfinite(res["s_iter0_epe"])
