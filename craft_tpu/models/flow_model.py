@@ -30,8 +30,8 @@ from craft_tpu.nn.gma import Attention
 from craft_tpu.nn.setrans import (CrossAttFeatTrans, InputFeatEncoder,
                                   SelfAttVisPosTrans)
 from craft_tpu.nn.update import BasicUpdateBlock, GMAUpdateBlock
-from craft_tpu.ops.corr import (CorrPyramid, all_pairs_correlation,
-                                build_pyramid, corr_lookup, plain_corr_pyramid)
+from craft_tpu.ops.corr import (build_pyramid, corr_lookup,
+                                plain_corr_pyramid)
 from craft_tpu.ops.geometry import convex_upsample, coords_grid
 
 
