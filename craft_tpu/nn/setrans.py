@@ -288,12 +288,13 @@ class CrossAttFeatTrans(nn.Module):
         use_pallas = self._pallas_enabled(deterministic, attention_mask)
         interp = jax.default_backend() != "tpu"  # interpret kernels off-TPU
         structured = isinstance(pos_biases, SlidingBias)
-        if structured:
+        if structured and not cfg.out_attn_scores_only:
             from craft_tpu.ops.pallas.mode_attention import mt_alignment_ok
             # Mosaic tile alignment: fall back to the dense-bias kernels
             # (padded internally) when W8-multiples don't align to (8, 128).
+            # (The scores-only path selects its kernel inside corr_vjp.)
             if not (mt_alignment_ok(pos_biases.W) or interp):
-                if use_pallas:
+                if self._pallas_allowed(attention_mask):
                     pos_biases = pos_biases.dense()
                 structured = isinstance(pos_biases, SlidingBias)
         # The scores-only (correlation) site applies no dropout (reference

@@ -63,11 +63,24 @@ def _sliding_bias_grad(g: jnp.ndarray, H: int, W: int, R: int,
 def fused_agg_corr_diff(q, k, biases, clip_val, pos_w, agg_w, agg_b,
                         grid_hw: Tuple[int, int], interpret: bool):
     """Differentiable fused correlation volume.  q, k: [M, U, md];
-    biases: [2R+1, 2R+1] sliding window.  Returns [U, U] fp32."""
-    from craft_tpu.ops.pallas.mode_attention import fused_agg_corr_mt
+    biases: [2R+1, 2R+1] sliding window.  Returns [U, U] fp32.
 
-    return fused_agg_corr_mt(q, k, biases, grid_hw, clip_val, pos_w, agg_w,
-                             agg_b, interpret=interpret)
+    Forward kernel selection: block-Toeplitz bias assembly when the W8 tile
+    aligns to Mosaic's (8, 128) constraint, otherwise the dense-bias kernel
+    (the dense table is small at training crop sizes)."""
+    from craft_tpu.ops.pallas.mode_attention import (fused_agg_corr,
+                                                     fused_agg_corr_mt,
+                                                     mt_alignment_ok)
+
+    H, W = grid_hw
+    if mt_alignment_ok(W):
+        return fused_agg_corr_mt(q, k, biases, grid_hw, clip_val, pos_w,
+                                 agg_w, agg_b, interpret=interpret)
+    from craft_tpu.nn.setrans import sliding_pos_biases
+
+    dense = sliding_pos_biases(biases, H, W)
+    return fused_agg_corr(q, k, dense, clip_val, pos_w, agg_w, agg_b,
+                          interpret=interpret)
 
 
 def _fwd(q, k, biases, clip_val, pos_w, agg_w, agg_b, grid_hw, interpret):
