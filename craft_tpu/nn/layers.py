@@ -123,16 +123,19 @@ class Dense(nn.Module):
 
 def lean_dropout(x, rate: float, rng):
     """Memory-lean dropout for huge tensors (the [B, M, U, U] attention
-    probs): one uint32 bits tensor compared against an integer threshold —
-    the standard uniform-float path materializes ~6 full-size temporaries
-    (bit twiddling + conversions), which OOMs training at Sintel-scale
-    attention sizes.
+    probs): hardware RNG bits compared against an integer threshold.  The
+    standard threefry uniform-float path materializes ~6 full-size u32/f32
+    temporaries (counter iota + hash rounds + conversions), which OOMs
+    training at Sintel-scale attention sizes; `rng_bit_generator` produces
+    the bits tensor directly on TPU.
     """
     if rate == 0.0:
         return x
     keep = 1.0 - rate
     thresh = jnp.uint32(min(int(keep * (2 ** 32)), 2 ** 32 - 1))
-    bits = jax.random.bits(rng, x.shape, jnp.uint32)
+    data = jax.random.key_data(rng).reshape(-1).astype(jnp.uint32)
+    state = jnp.tile(data, 4)[:4]
+    _, bits = jax.lax.rng_bit_generator(state, x.shape, dtype=jnp.uint32)
     return jnp.where(bits < thresh, x / keep, jnp.zeros((), x.dtype))
 
 
