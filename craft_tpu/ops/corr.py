@@ -1,13 +1,14 @@
 """All-pairs correlation volume, pyramid, and windowed lookup.
 
 TPU-native redesign of the reference correlation engine (core/corr.py:16-207):
-the volume is built with one big MXU matmul, pooled into a 4-level pyramid, and the
-per-iteration (2r+1)^2-tap bilinear window lookup is a vectorized gather.  The
-fused Pallas lookup kernel lives in craft_tpu/ops/pallas/corr_lookup.py and is used
-automatically on TPU backends when shapes allow.
+the volume is built with one big MXU matmul, pooled into a 4-level pyramid, and
+the per-iteration (2r+1)^2-tap bilinear window lookup runs as batched MXU
+matmuls with hat-function interpolation matrices (corr_lookup_mxu — the
+measured-fastest of four formulations, see BENCH_NOTES.md).
 
-Layout: feature maps are NHWC; pyramid level i is stored as
-[B*H1*W1, h2_i, w2_i, D] where D = 1 (one-way) or 2 (two-way f1+f2 correlation).
+Layout: feature maps are NHWC; pyramid level i is stored 3-D as
+[B*H1*W1, h2_i, w2_i * D] where D = 1 (one-way) or 2 (two-way f1+f2
+correlation) — see CorrPyramid.
 """
 
 from __future__ import annotations
