@@ -8,7 +8,6 @@ dependency, keeping the input pipeline framework-free.
 from __future__ import annotations
 
 import random
-from typing import Optional, Sequence, Tuple
 
 import numpy as np
 from PIL import Image, ImageEnhance

@@ -13,7 +13,7 @@ from __future__ import annotations
 import queue
 import random as _random
 import threading
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

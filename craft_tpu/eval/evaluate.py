@@ -14,7 +14,7 @@ exactly.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

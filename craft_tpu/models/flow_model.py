@@ -18,7 +18,7 @@ network.py:179-199).  Images are NHWC uint8-range floats.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

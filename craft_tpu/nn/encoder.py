@@ -12,7 +12,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from craft_tpu.nn.layers import Conv, InstanceNorm, kaiming_normal_fanout_init, make_norm
+from craft_tpu.nn.layers import Conv, kaiming_normal_fanout_init, make_norm
 
 
 class ResidualBlock(nn.Module):

@@ -12,7 +12,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from craft_tpu.nn.layers import Conv, torch_default_kernel_init
+from craft_tpu.nn.layers import Conv
 
 
 class RelPosEmb(nn.Module):

@@ -7,7 +7,7 @@ model's lax.scan loop.  NHWC, bf16-capable.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

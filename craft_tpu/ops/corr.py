@@ -13,7 +13,7 @@ correlation) — see CorrPyramid.
 
 from __future__ import annotations
 
-from typing import List, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

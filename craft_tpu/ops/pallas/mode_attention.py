@@ -19,7 +19,6 @@ fp32, and read the dense positional-bias table tile-by-tile from HBM.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -70,16 +70,14 @@ def main(argv=None):
 
     from craft_tpu.utils.jax_setup import setup_jax
     jax = setup_jax()
-    import jax.numpy as jnp
 
     from craft_tpu.data.datasets import fetch_training_dataset
     from craft_tpu.data.loader import InfiniteLoader, ShardedLoader
-    from craft_tpu.parallel.mesh import (batch_sharding, initialize_distributed,
+    from craft_tpu.parallel.mesh import (initialize_distributed,
                                          make_data_mesh, replicate_state,
                                          shard_batch)
     from craft_tpu.training.checkpoint import load_checkpoint, save_checkpoint
     from craft_tpu.training.logger import Logger
-    from craft_tpu.training.optim import onecycle_linear
     from craft_tpu.training.train_step import (create_train_state,
                                                make_train_step)
 

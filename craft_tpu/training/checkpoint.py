@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 import os.path as osp
 import pickle
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import numpy as np

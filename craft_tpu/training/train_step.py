@@ -9,8 +9,7 @@ State = params + batch_stats + optimizer state.  The step:
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
