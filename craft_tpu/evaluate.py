@@ -50,7 +50,8 @@ def parse_args(argv=None):
                    help="convert the .pth to a native orbax checkpoint "
                         "(the analog of the reference --fix upgrader, "
                         "evaluate.py:1386-1416)")
-    # Reference default: eval with --mixed_precision ON unless --fullprec.
+    # Reference default: eval with --mixed_precision ON unless --fullprec
+    # (which here also forces exact fp32 matmuls for strict parity).
     p.add_argument("--fullprec", dest="fullprec", action="store_true")
     args = p.parse_args(argv)
     if not args.fullprec:
@@ -90,7 +91,13 @@ def load_variables(args, cfg):
 def main(argv=None):
     args = parse_args(argv)
     from craft_tpu.utils.jax_setup import setup_jax
-    setup_jax()
+    jax = setup_jax()
+    if args.fullprec:
+        # Strict-parity mode: fp32 everywhere AND exact fp32 matmuls (the TPU
+        # default decomposes f32 matmuls into bf16 passes; 'highest' brings
+        # the compiled model to ~3e-5 max flow deviation vs the fp32 torch
+        # reference — tools/verify_tpu.py).
+        jax.config.update("jax_default_matmul_precision", "highest")
 
     cfg = model_config_from_args(args)
     variables = load_variables(args, cfg)
