@@ -309,12 +309,12 @@ class CrossAttFeatTrans(nn.Module):
             agg = LearnedSoftAggregate(1, keepdim=True, dtype=jnp.float32,
                                        name="attn_softaggr")
             agg_w, agg_b = agg.scalar_wb()
-            qf = q.astype(jnp.float32)
-            kf = k.astype(jnp.float32)
+            iodt = self.dtype  # bf16 matmul inputs under mixed precision
             gmax = jax.lax.stop_gradient(jnp.max(jax.vmap(
                 lambda qq, kk: scores_global_max(qq, kk, 1.0 / math.sqrt(md),
-                                                 interpret=interp)
-            )(jax.lax.stop_gradient(qf), jax.lax.stop_gradient(kf))))
+                                                 interpret=interp,
+                                                 io_dtype=iodt)
+            )(jax.lax.stop_gradient(q), jax.lax.stop_gradient(k))))
             clip_val = jnp.where(gmax > cfg.attn_clip, cfg.attn_clip, 1e30)
             if structured:
                 from craft_tpu.ops.pallas.corr_vjp import fused_agg_corr_diff
@@ -322,15 +322,16 @@ class CrossAttFeatTrans(nn.Module):
                 vol = jax.vmap(
                     lambda qq, kk: fused_agg_corr_diff(
                         qq, kk, pos_biases.biases, clip_val,
-                        cfg.pos_code_weight, agg_w, agg_b, grid_hw, interp),
-                )(qf, kf)
+                        cfg.pos_code_weight, agg_w, agg_b, grid_hw, interp,
+                        iodt),
+                )(q, k)
             else:
                 bias2d = None if pos_biases is None else \
                     pos_biases.astype(jnp.float32)
                 vol = jax.vmap(lambda qq, kk: fused_agg_corr(
                     qq, kk, bias2d, clip_val, cfg.pos_code_weight, agg_w,
-                    agg_b, interpret=interp,
-                ))(qf, kf)
+                    agg_b, interpret=interp, io_dtype=iodt,
+                ))(q, k)
             return vol[:, None]  # [B, 1, U1, U2]
 
         if (use_pallas and not cfg.out_attn_only and not cfg.has_FFN
@@ -338,12 +339,12 @@ class CrossAttFeatTrans(nn.Module):
             from craft_tpu.ops.pallas.mode_attention import (
                 flash_mode_attention, flash_mode_attention_mt,
                 scores_global_max)
-            qf = q.astype(jnp.float32)
-            kf = k.astype(jnp.float32)
+            iodt = self.dtype
             gmax = jnp.max(jax.vmap(
                 lambda qq, kk: scores_global_max(qq, kk, 1.0 / math.sqrt(md),
-                                                 interpret=interp)
-            )(qf, kf))
+                                                 interpret=interp,
+                                                 io_dtype=iodt)
+            )(q, k))
             clip_val = jnp.where(gmax > cfg.attn_clip, cfg.attn_clip, 1e30)
 
             if structured:
@@ -354,8 +355,8 @@ class CrossAttFeatTrans(nn.Module):
                         lambda qq, kk, vv: flash_mode_attention_mt(
                             qq, kk, vv, pos_biases.biases, grid_hw, clip_val,
                             cfg.pos_code_weight, interpret=interp,
-                        ))(qf, kf,
-                           v4d.astype(jnp.float32)).astype(self.dtype)
+                            io_dtype=iodt,
+                        ))(q, k, v4d).astype(self.dtype)
             else:
                 bias2d = None if pos_biases is None else \
                     pos_biases.astype(jnp.float32)
@@ -363,8 +364,8 @@ class CrossAttFeatTrans(nn.Module):
                 def attention_fn(v4d):  # [B, M, U2, F] -> [B, M, U1, F]
                     return jax.vmap(lambda qq, kk, vv: flash_mode_attention(
                         qq, kk, vv, bias2d, clip_val, cfg.pos_code_weight,
-                        interpret=interp,
-                    ))(qf, kf, v4d.astype(jnp.float32)).astype(self.dtype)
+                        interpret=interp, io_dtype=iodt,
+                    ))(q, k, v4d).astype(self.dtype)
 
             return ExpandedFeatTrans(cfg, dtype=self.dtype, name="out_trans")(
                 key_feat, None, deterministic=deterministic,
@@ -406,12 +407,12 @@ class CrossAttFeatTrans(nn.Module):
             # Intra-attention probs without materializing fp32 scores.
             from craft_tpu.ops.pallas.mode_attention import (
                 mode_softmax_probs_mt, scores_global_max)
-            qf = q.astype(jnp.float32)
-            kf = k.astype(jnp.float32)
+            iodt = self.dtype
             gmax = jnp.max(jax.vmap(
                 lambda qq, kk: scores_global_max(qq, kk, 1.0 / math.sqrt(md),
-                                                 interpret=interp)
-            )(qf, kf))
+                                                 interpret=interp,
+                                                 io_dtype=iodt)
+            )(q, k))
             clip_val = jnp.where(gmax > cfg.attn_clip, cfg.attn_clip, 1e30)
             grid_hw = (pos_biases.H, pos_biases.W)
             if M > 1:
@@ -420,7 +421,7 @@ class CrossAttFeatTrans(nn.Module):
             return jax.vmap(lambda qq, kk: mode_softmax_probs_mt(
                 qq, kk, pos_biases.biases, grid_hw, clip_val,
                 cfg.pos_code_weight, out_dtype=self.dtype,
-                interpret=interp))(qf, kf)
+                interpret=interp, io_dtype=iodt))(q, k)
 
         probs = nn.softmax(scores, axis=-1).astype(self.dtype)
         # Attention dump hook: apply(..., mutable=['intermediates']) captures

@@ -59,9 +59,10 @@ def _sliding_bias_grad(g: jnp.ndarray, H: int, W: int, R: int,
     return pos_w * jnp.stack(rows)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def fused_agg_corr_diff(q, k, biases, clip_val, pos_w, agg_w, agg_b,
-                        grid_hw: Tuple[int, int], interpret: bool):
+                        grid_hw: Tuple[int, int], interpret: bool,
+                        io_dtype=jnp.float32):
     """Differentiable fused correlation volume.  q, k: [M, U, md];
     biases: [2R+1, 2R+1] sliding window.  Returns [U, U] fp32.
 
@@ -75,21 +76,23 @@ def fused_agg_corr_diff(q, k, biases, clip_val, pos_w, agg_w, agg_b,
     H, W = grid_hw
     if mt_alignment_ok(W):
         return fused_agg_corr_mt(q, k, biases, grid_hw, clip_val, pos_w,
-                                 agg_w, agg_b, interpret=interpret)
+                                 agg_w, agg_b, interpret=interpret,
+                                 io_dtype=io_dtype)
     from craft_tpu.nn.setrans import sliding_pos_biases
 
     dense = sliding_pos_biases(biases, H, W)
     return fused_agg_corr(q, k, dense, clip_val, pos_w, agg_w, agg_b,
-                          interpret=interpret)
+                          interpret=interpret, io_dtype=io_dtype)
 
 
-def _fwd(q, k, biases, clip_val, pos_w, agg_w, agg_b, grid_hw, interpret):
+def _fwd(q, k, biases, clip_val, pos_w, agg_w, agg_b, grid_hw, interpret,
+         io_dtype=jnp.float32):
     vol = fused_agg_corr_diff(q, k, biases, clip_val, pos_w, agg_w, agg_b,
-                              grid_hw, interpret)
+                              grid_hw, interpret, io_dtype)
     return vol, (q, k, biases, clip_val, pos_w, agg_w, vol)
 
 
-def _bwd(grid_hw, interpret, res, g):
+def _bwd(grid_hw, interpret, io_dtype, res, g):
     from craft_tpu.nn.setrans import sliding_pos_biases
 
     q, k, biases, clip_val, pos_w, agg_w, vol = res

@@ -61,7 +61,8 @@ def _max_kernel(q_ref, k_ref, out_ref, *, scale):
     out_ref[0, 0] = jnp.maximum(out_ref[0, 0], m)
 
 
-def scores_global_max(q, k, scale, tq=512, tk=512, interpret=False):
+def scores_global_max(q, k, scale, tq=512, tk=512, interpret=False,
+                      io_dtype=jnp.float32):
     """q, k: [M, U, md] -> scalar max of scale * q @ k^T over everything.
 
     Padded keys/queries are zero vectors -> score 0; since real volumes always
@@ -72,8 +73,8 @@ def scores_global_max(q, k, scale, tq=512, tk=512, interpret=False):
     U2 = k.shape[1]
     U1p = ((U1 + tq - 1) // tq) * tq
     U2p = ((U2 + tk - 1) // tk) * tk
-    qp = _pad_to(q, U1p, 1)
-    kp = _pad_to(k, U2p, 1)
+    qp = _pad_to(q, U1p, 1).astype(io_dtype)
+    kp = _pad_to(k, U2p, 1).astype(io_dtype)
     grid = (U1p // tq, U2p // tk)
     out = pl.pallas_call(
         functools.partial(_max_kernel, scale=scale),
@@ -88,7 +89,7 @@ def scores_global_max(q, k, scale, tq=512, tk=512, interpret=False):
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         interpret=interpret,
-    )(qp.astype(jnp.float32), kp.astype(jnp.float32))
+    )(qp, kp)
     return out[0, 0]
 
 
@@ -184,7 +185,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, clip_ref, out_ref,
 
 def flash_mode_attention(q, k, v, bias, clip_val, pos_w,
                          tq=256, tk=512, out_dtype=jnp.float32,
-                         interpret=False):
+                         interpret=False, io_dtype=jnp.float32):
     """out[m] = softmax(clamp(scale * q_m k_m^T) + pos_w * bias) @ v_m.
 
     q, k: [M, U, md]; v: [M, U2, F]; bias: [U, U2] (or None);
@@ -197,9 +198,9 @@ def flash_mode_attention(q, k, v, bias, clip_val, pos_w,
     U1p = ((U1 + tq - 1) // tq) * tq
     U2p = ((U2 + tk - 1) // tk) * tk
 
-    qp = _pad_to(q, U1p, 1).astype(jnp.float32)
-    kp = _pad_to(k, U2p, 1).astype(jnp.float32)
-    vp = _pad_to(v, U2p, 1).astype(jnp.float32)
+    qp = _pad_to(q, U1p, 1).astype(io_dtype)
+    kp = _pad_to(k, U2p, 1).astype(io_dtype)
+    vp = _pad_to(v, U2p, 1).astype(io_dtype)
     if bias is None:
         bias = jnp.zeros((U1, U2), jnp.float32)
     biasp = _pad_to(_pad_to(bias.astype(jnp.float32), U2p, 1,
@@ -271,7 +272,8 @@ def _flash_kernel_mt(q_ref, k_ref, v_ref, m_ref, clip_ref, out_ref,
 
 
 def flash_mode_attention_mt(q, k, v, biases, grid_hw, clip_val, pos_w,
-                            out_dtype=jnp.float32, interpret=False):
+                            out_dtype=jnp.float32, interpret=False,
+                            io_dtype=jnp.float32):
     """flash_mode_attention with the sliding bias assembled in-kernel from
     the [2R+1, W8, W8] block-Toeplitz table (self-attention: U1 == U2 ==
     H8*W8 given by grid_hw)."""
@@ -287,9 +289,9 @@ def flash_mode_attention_mt(q, k, v, biases, grid_hw, clip_val, pos_w,
     U1p = ((U1 + tq - 1) // tq) * tq
     U2p = ((U2 + tk - 1) // tk) * tk
 
-    qp = _pad_to(q, U1p, 1).astype(jnp.float32)
-    kp = _pad_to(k, U2p, 1).astype(jnp.float32)
-    vp = _pad_to(v, U2p, 1).astype(jnp.float32)
+    qp = _pad_to(q, U1p, 1).astype(io_dtype)
+    kp = _pad_to(k, U2p, 1).astype(io_dtype)
+    vp = _pad_to(v, U2p, 1).astype(io_dtype)
     mtable = make_rowbias_table(biases, W8)
 
     nkv = U2p // tk
@@ -356,7 +358,7 @@ def _agg_corr_kernel_mt(q_ref, k_ref, m_ref, scal_ref, out_ref, *, scale,
 
 
 def fused_agg_corr_mt(q, k, biases, grid_hw, clip_val, pos_w, agg_w, agg_b,
-                      interpret=False):
+                      interpret=False, io_dtype=jnp.float32):
     """fused_agg_corr with in-kernel sliding-bias assembly (U1 == U2 ==
     H8*W8)."""
     M, U1, md = q.shape
@@ -370,8 +372,8 @@ def fused_agg_corr_mt(q, k, biases, grid_hw, clip_val, pos_w, agg_w, agg_b,
     tq, tk = rq * W8, rk * W8
     U1p = ((U1 + tq - 1) // tq) * tq
     U2p = ((U2 + tk - 1) // tk) * tk
-    qp = _pad_to(q, U1p, 1).astype(jnp.float32)
-    kp = _pad_to(k, U2p, 1).astype(jnp.float32)
+    qp = _pad_to(q, U1p, 1).astype(io_dtype)
+    kp = _pad_to(k, U2p, 1).astype(io_dtype)
     mtable = make_rowbias_table(biases, W8)
     scal = jnp.asarray([clip_val, pos_w, agg_w, agg_b], jnp.float32)
 
@@ -442,7 +444,8 @@ def _probs_kernel_mt(q_ref, k_ref, m_ref, clip_ref, out_ref, mx_ref, l_ref,
 
 
 def mode_softmax_probs_mt(q, k, biases, grid_hw, clip_val, pos_w,
-                          out_dtype=jnp.bfloat16, interpret=False):
+                          out_dtype=jnp.bfloat16, interpret=False,
+                          io_dtype=jnp.float32):
     """probs[m] = softmax(clamp(scale q_m k_m^T) + pos_w * bias) without ever
     materializing fp32 scores.  Returns [M, U, U] in out_dtype."""
     M, U1, md = q.shape
@@ -456,8 +459,8 @@ def mode_softmax_probs_mt(q, k, biases, grid_hw, clip_val, pos_w,
     tq, tk = rq * W8, rk * W8
     U1p = ((U1 + tq - 1) // tq) * tq
     U2p = ((U2 + tk - 1) // tk) * tk
-    qp = _pad_to(q, U1p, 1).astype(jnp.float32)
-    kp = _pad_to(k, U2p, 1).astype(jnp.float32)
+    qp = _pad_to(q, U1p, 1).astype(io_dtype)
+    kp = _pad_to(k, U2p, 1).astype(io_dtype)
     mtable = make_rowbias_table(biases, W8)
 
     nkv = U2p // tk
@@ -528,7 +531,7 @@ def _agg_corr_kernel(q_ref, k_ref, bias_ref, scal_ref, out_ref, *, scale,
 
 
 def fused_agg_corr(q, k, bias, clip_val, pos_w, agg_w, agg_b,
-                   tq=256, tk=512, interpret=False):
+                   tq=256, tk=512, interpret=False, io_dtype=jnp.float32):
     """The CRAFT inter-frame correlation volume in one pass.
 
     out[i, j] = sum_m softmax_m(agg_w * s_m[i,j] + agg_b) * s_m[i,j],
@@ -540,8 +543,8 @@ def fused_agg_corr(q, k, bias, clip_val, pos_w, agg_w, agg_b,
     scale = 1.0 / (md ** 0.5)
     U1p = ((U1 + tq - 1) // tq) * tq
     U2p = ((U2 + tk - 1) // tk) * tk
-    qp = _pad_to(q, U1p, 1).astype(jnp.float32)
-    kp = _pad_to(k, U2p, 1).astype(jnp.float32)
+    qp = _pad_to(q, U1p, 1).astype(io_dtype)
+    kp = _pad_to(k, U2p, 1).astype(io_dtype)
     if bias is None:
         bias = jnp.zeros((U1, U2), jnp.float32)
     biasp = _pad_to(_pad_to(bias.astype(jnp.float32), U2p, 1), U1p, 0)
