@@ -49,6 +49,7 @@ import contextlib
 for label, c in [
     ("pallas-highest", cfg),
     ("pallas", cfg),
+    ("mixed-bf16", craft_config(mixed_precision=True)),
     ("xla-only", cfg.replace(
         inter=dataclasses.replace(cfg.inter, use_pallas="off"),
         f2=dataclasses.replace(cfg.f2, use_pallas="off"),
