@@ -81,3 +81,21 @@ def test_lerp_lookup_matches_mxu(rng):
     a = np.asarray(corr_lookup_mxu(pyr, coords))
     b = np.asarray(corr_lookup_lerp(pyr, coords))
     np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_packed_lookup_matches_mxu(rng):
+    import jax.numpy as jnp
+    from craft_tpu.ops.corr import (corr_lookup_mxu, corr_lookup_packed,
+                                    pack_pyramid, plain_corr_pyramid)
+    from craft_tpu.ops.geometry import coords_grid
+
+    B, H, W, C = 2, 16, 24, 16
+    f1 = rng.randn(B, H, W, C).astype(np.float32)
+    f2 = rng.randn(B, H, W, C).astype(np.float32)
+    pyr = plain_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2))
+    pp = pack_pyramid(pyr)
+    coords = coords_grid(B, H, W) + jnp.asarray(
+        rng.uniform(-8, 8, (B, H, W, 2)).astype(np.float32))
+    a = np.asarray(corr_lookup_mxu(pyr, coords))
+    b = np.asarray(corr_lookup_packed(pp, coords))
+    np.testing.assert_allclose(a, b, atol=2e-4)

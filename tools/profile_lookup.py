@@ -7,8 +7,10 @@ jax = setup_jax()
 import jax.numpy as jnp
 import numpy as np
 
-from craft_tpu.ops.corr import (CorrPyramid, build_pyramid, corr_lookup_lerp,
-                                corr_lookup_mxu, corr_lookup_window)
+from craft_tpu.ops.corr import (CorrPyramid, PackedPyramid, build_pyramid,
+                                corr_lookup_lerp, corr_lookup_mxu,
+                                corr_lookup_packed, corr_lookup_window,
+                                pack_pyramid)
 from craft_tpu.ops.geometry import coords_grid
 
 H8, W8 = 55, 128
@@ -42,10 +44,23 @@ def scan12(lookup):
 
 coords = coords_grid(1, H8, W8)
 timeit("12x mxu lookup", scan12(corr_lookup_mxu), pyr.levels, coords)
-timeit("12x lerp lookup", scan12(corr_lookup_lerp), pyr.levels, coords)
-
 pyr16 = build_pyramid(vol, 1, H8, W8, 4, 4, level_dtype=jnp.bfloat16)
-timeit("12x lerp lookup bf16", scan12(corr_lookup_lerp), pyr16.levels, coords)
+
+def scan12_packed(levels, coords, dtype):
+    p = CorrPyramid(levels=levels, batch=1, h1=H8, w1=W8, radius=4)
+    pp = pack_pyramid(p)
+    def fn(packed, coords):
+        pp2 = pp._replace(packed=packed)
+        def step(c, _):
+            return c + 0.01, corr_lookup_packed(pp2, c)
+        _, outs = jax.lax.scan(step, coords, None, length=12)
+        return outs[-1]
+    return jax.jit(fn), pp.packed
+
+fn, packed = scan12_packed(pyr.levels, coords, jnp.float32)
+timeit("12x packed lookup f32", fn, packed, coords)
+fn16, packed16 = scan12_packed(pyr16.levels, coords, jnp.bfloat16)
+timeit("12x packed lookup bf16", fn16, packed16, coords)
 
 # floor: sum all levels once per iteration (pure stream)
 def stream_floor(levels, coords):
