@@ -136,6 +136,7 @@ def main(argv=None):
     is_main = jax.process_index() == 0
     noise_rng = np.random.RandomState(args.seed + 13)
     t_prev = time.time()
+    step = int(jax.device_get(state.step))
     for batch in InfiniteLoader(loader):
         if args.add_noise:
             stdv = noise_rng.uniform(0.0, 5.0)
@@ -145,19 +146,21 @@ def main(argv=None):
                     0.0, 255.0).astype(np.float32)
         batch.pop("extra_info", None)
         batch = shard_batch(mesh, batch)
-        if args.profile_steps and int(state.step) == 10:
+        if args.profile_steps and step == 10:
             import jax.profiler
             jax.profiler.start_trace(args.profile_dir)
         state, metrics = train_step(state, batch, step_rng)
-        if args.profile_steps and int(state.step) == 10 + args.profile_steps:
+        step += 1
+        if args.profile_steps and step == 10 + args.profile_steps:
             import jax.profiler
             jax.profiler.stop_trace()
             print(f"Profiler trace written to {args.profile_dir}")
-        metrics = jax.device_get(metrics)
+        # Metrics stay on-device; the logger materializes them lazily at
+        # print_freq so the loop never blocks on a device->host transfer and
+        # steps dispatch asynchronously.
         t_now = time.time()
         metrics["time"] = t_now - t_prev
         t_prev = t_now
-        step = int(state.step)
         if is_main:
             logger.push(metrics, float(schedule(step)))
 

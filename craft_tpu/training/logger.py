@@ -38,15 +38,18 @@ class Logger:
 
     # -- logging ----------------------------------------------------------
     def push(self, metrics: Dict[str, float], lr: float):
+        """Metrics may be device arrays; they are only materialized at print
+        time so the training loop never blocks on a device->host transfer."""
         self.total_steps += 1
         for k, v in metrics.items():
-            self.running.setdefault(k, []).append(float(v))
+            self.running.setdefault(k, []).append(v)
         if self.total_steps % self.print_freq == self.print_freq - 1:
             self._print_status(lr)
 
     def _print_status(self, lr: float):
         keys = sorted(self.running.keys())
-        means = {k: float(np.mean(self.running[k])) for k in keys}
+        means = {k: float(np.mean([float(np.asarray(v))
+                                   for v in self.running[k]])) for k in keys}
         header = f"[{self.total_steps + 1:6d}, {lr:10.7f}] "
         body = ", ".join(f"{k} {means[k]:.4f}" for k in keys if k != "time")
         eta = ""
