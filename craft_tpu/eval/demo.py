@@ -79,9 +79,11 @@ def gen_flow(cfg: ModelConfig, variables, image1_path: str, image2_path: str,
         offset = np.array(xy_shift, np.float32)
 
     if calc_flop:
+        from craft_tpu.eval.flops import print_breakdown
+        print_breakdown(cfg, img1.shape[0], img1.shape[1], iters)
         flops = count_model_flops(cfg, variables, img1.shape[:2], iters)
-        print(f"Forward FLOPs ({img1.shape[0]}x{img1.shape[1]}, "
-              f"{iters} iters): {flops / 1e9:.1f} G")
+        print(f"Compiled forward FLOPs (XLA cost analysis): "
+              f"{flops / 1e9:.1f} G")
         return flops
 
     padder = InputPadder((1,) + img1.shape, mode="sintel")
