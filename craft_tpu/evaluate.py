@@ -45,6 +45,8 @@ def parse_args(argv=None):
                    help="comma list of x shifts for the robustness sweep")
     p.add_argument("--yshifts", type=str, default=None)
     p.add_argument("--max_val_count", type=int, default=-1)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="batch consecutive same-shape pairs (dense sets)")
     p.add_argument("--data_root", type=str, default="datasets")
     p.add_argument("--convert", default=None, metavar="OUT_DIR",
                    help="convert the .pth to a native orbax checkpoint "
@@ -143,6 +145,9 @@ def main(argv=None):
     if args.dataset:
         from craft_tpu.eval.evaluate import VALIDATORS
         fn = VALIDATORS[args.dataset]
+        extra = {}
+        if args.dataset == "sintel" and args.batch_size > 1:
+            extra["batch_size"] = args.batch_size
         if args.xshifts or args.yshifts:
             xs = [int(v) for v in (args.xshifts or "0").split(",")]
             ys = [int(v) for v in (args.yshifts or "0").split(",")]
@@ -150,10 +155,10 @@ def main(argv=None):
                 print(f"=== shift ({dx}, {dy}) ===")
                 fn(cfg, variables, iters=args.iters,
                    data_root=args.data_root, xy_shift=(dx, dy),
-                   max_val_count=args.max_val_count)
+                   max_val_count=args.max_val_count, **extra)
         else:
             fn(cfg, variables, iters=args.iters, data_root=args.data_root,
-               max_val_count=args.max_val_count)
+               max_val_count=args.max_val_count, **extra)
         return
 
     print("Nothing to do: pass --dataset, --submission, or --img1/--img2")
