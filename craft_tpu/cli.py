@@ -50,6 +50,15 @@ def add_model_args(p: argparse.ArgumentParser):
 
 
 def model_config_from_args(args) -> ModelConfig:
+    if args.f2trans == "half":
+        # The reference accepts --f2 half but the path is vestigial: it sets
+        # f2_trans_config.do_half_attn (craft_nogma.py:64) which
+        # SelfAttVisPosTrans never reads, so 'half' silently behaves as
+        # 'full'.  Reject rather than replicate the silent no-op.
+        raise SystemExit(
+            "--f2 half is not supported: in the reference it is a no-op "
+            "(do_half_attn is set at craft_nogma.py:64 but never read by "
+            "setrans.py). Use --f2 full or --f2 none.")
     if args.raft:
         arch, craft, f2trans, use_setrans = "raft", False, "none", False
     elif args.nogma:

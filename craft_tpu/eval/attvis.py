@@ -66,7 +66,12 @@ def vis_attention(attn: np.ndarray, image2: np.ndarray,
     H8, W8 = grid_hw
     H, W = image2.shape[:2]
     os.makedirs(out_dir, exist_ok=True)
+    n_saved = 0
     for (qy, qx) in query_points:
+        if not (0 <= qy < H8 and 0 <= qx < W8):
+            print(f"query point ({qy},{qx}) outside the {H8}x{W8} 1/8-res "
+                  "grid; skipped")
+            continue
         amap = attn[qy * W8 + qx].reshape(H8, W8)
         # Median-subtract for contrast (reference attvis.py:70-80).
         amap = amap - np.median(amap)
@@ -89,4 +94,5 @@ def vis_attention(attn: np.ndarray, image2: np.ndarray,
         overlay[min(y0 + 7, H - 1), x0:x0 + 8] = [255, 255, 255]
         out = osp.join(out_dir, f"{prefix}_{qy}_{qx}.png")
         Image.fromarray(overlay).save(out)
-    print(f"Saved {len(query_points)} attention maps to {out_dir}")
+        n_saved += 1
+    print(f"Saved {n_saved} attention maps to {out_dir}")

@@ -183,7 +183,7 @@ def _validate_dense(cfg, variables, dataset, name, iters=12, xy_shift=None,
 
 def validate_sintel(cfg, variables, iters=12, data_root="datasets",
                     dstype="both", xy_shift=None, max_val_count=-1,
-                    batch_size=1) -> Dict[str, float]:
+                    batch_size=1, test_mode=1) -> Dict[str, float]:
     dstypes = ["clean", "final"] if dstype == "both" else [dstype]
     results = {}
     for dt in dstypes:
@@ -191,7 +191,8 @@ def validate_sintel(cfg, variables, iters=12, data_root="datasets",
                                root=f"{data_root}/Sintel")
         results.update(_validate_dense(cfg, variables, dataset, f"sintel_{dt}",
                                        iters, xy_shift, max_val_count,
-                                       batch_size=batch_size))
+                                       batch_size=batch_size,
+                                       test_mode=test_mode))
     return results
 
 
@@ -238,7 +239,7 @@ def validate_sintel_occ(cfg, variables, iters=12, data_root="datasets",
 
 def validate_things(cfg, variables, iters=12, data_root="datasets",
                     dstype="both", xy_shift=None,
-                    max_val_count=-1) -> Dict[str, float]:
+                    max_val_count=-1, test_mode=1) -> Dict[str, float]:
     type_map = {"clean": "frames_cleanpass", "final": "frames_finalpass"}
     dstypes = ["clean", "final"] if dstype == "both" else [dstype]
     results = {}
@@ -248,18 +249,19 @@ def validate_things(cfg, variables, iters=12, data_root="datasets",
             root=f"{data_root}/FlyingThings3D",
             val_filter_file=f"{data_root}/things_val_test_set.txt")
         results.update(_validate_dense(cfg, variables, dataset, f"things_{dt}",
-                                       iters, xy_shift, max_val_count))
+                                       iters, xy_shift, max_val_count,
+                                       test_mode=test_mode))
 
     return results
 
 
 def validate_slowflow(cfg, variables, iters=12, data_root="datasets",
                       blur_mag=100, blur_num_frames=0, xy_shift=None,
-                      max_val_count=-1) -> Dict[str, float]:
+                      max_val_count=-1, test_mode=1) -> Dict[str, float]:
     dataset = ds.SlowFlow(root=f"{data_root}/slowflow/", blur_mag=blur_mag,
                           blur_num_frames=blur_num_frames)
     return _validate_dense(cfg, variables, dataset, "slowflow", iters,
-                           xy_shift, max_val_count)
+                           xy_shift, max_val_count, test_mode=test_mode)
 
 
 def _validate_sparse(cfg, variables, dataset, name, iters=12, xy_shift=None,

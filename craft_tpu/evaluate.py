@@ -45,6 +45,9 @@ def parse_args(argv=None):
                    help="comma list of x shifts for the robustness sweep")
     p.add_argument("--yshifts", type=str, default=None)
     p.add_argument("--max_val_count", type=int, default=-1)
+    p.add_argument("--test_mode", type=int, default=1, choices=[1, 2],
+                   help="2 = per-iteration EPE curves on dense sets "
+                        "(reference evaluate.py:317-323)")
     p.add_argument("--batch_size", type=int, default=1,
                    help="batch consecutive same-shape pairs (dense sets)")
     p.add_argument("--data_root", type=str, default="datasets")
@@ -148,6 +151,12 @@ def main(argv=None):
         extra = {}
         if args.dataset == "sintel" and args.batch_size > 1:
             extra["batch_size"] = args.batch_size
+        if args.test_mode != 1:
+            if args.dataset in ("sintel", "things", "slowflow"):
+                extra["test_mode"] = args.test_mode
+            else:
+                print(f"--test_mode {args.test_mode} only applies to dense "
+                      "sets (sintel/things/slowflow); ignoring")
         if args.xshifts or args.yshifts:
             xs = [int(v) for v in (args.xshifts or "0").split(",")]
             ys = [int(v) for v in (args.yshifts or "0").split(",")]

@@ -183,6 +183,14 @@ class FlowModel(nn.Module):
                                     cfg.corr_radius, do_global_norm=True,
                                     level_dtype=lvl_dtype)
         else:
+            # Correlation dump hook for the plain volume too (the reference
+            # SAVECORR works for RAFT/GMA as well, corr.py:35-40).  sow is a
+            # no-op unless 'intermediates' is mutable, so this costs nothing
+            # in normal runs.
+            if self.is_mutable_collection("intermediates"):
+                from craft_tpu.ops.corr import all_pairs_correlation
+                self.sow("intermediates", "corr_volume",
+                         all_pairs_correlation(fmap1, fmap2)[:, None])
             pyramid = plain_corr_pyramid(fmap1, fmap2, cfg.corr_levels,
                                          cfg.corr_radius,
                                          level_dtype=lvl_dtype)

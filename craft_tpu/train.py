@@ -90,18 +90,24 @@ def main(argv=None):
     # Freeze BN on every stage after chairs (reference train.py:198-199).
     freeze_bn = args.freeze_bn and args.stage != "chairs"
 
-    state, tx, schedule = create_train_state(
+    state, tx, _ = create_train_state(
         cfg, rng, image_shape=tuple(args.image_size), lr=args.lr,
         num_steps=args.num_steps, wdecay=args.wdecay, epsilon=args.epsilon,
         clip=args.clip)
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     print(f"Parameter Count: {n_params}")
 
+    # Host-side twin of the device LR schedule: calling `schedule(step)` from
+    # the loop would dispatch + block on a device scalar every step.
+    from craft_tpu.training.optim import onecycle_linear_host
+    host_lr = onecycle_linear_host(args.lr, args.num_steps + 100)
+
     logger = Logger(args.num_steps, args.print_freq, args.output)
     if args.restore_ckpt:
         state, logger_state = load_checkpoint(
             args.restore_ckpt, state,
             load_optimizer_state=args.load_optimizer_state,
+            load_scheduler_state=args.load_scheduler_state,
             load_logger=args.load_scheduler_state)
         if logger_state:
             logger.load_state_dict(logger_state)
@@ -162,7 +168,7 @@ def main(argv=None):
         metrics["time"] = t_now - t_prev
         t_prev = t_now
         if is_main:
-            logger.push(metrics, float(schedule(step)))
+            logger.push(metrics, host_lr(step))
 
         if step % args.val_freq == args.val_freq - 1 and is_main:
             path = os.path.join(args.output, f"{step + 1}_{args.name}")

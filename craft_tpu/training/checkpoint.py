@@ -44,10 +44,35 @@ def save_checkpoint(path: str, state, logger_state: Optional[Dict] = None):
     print(f"{path} saved")
 
 
+def _set_schedule_position(opt_state, step: int):
+    """Set every `count` field in an optax state tree to `step`, advancing the
+    LR schedule without restoring optimizer moments (the reference's
+    --loadsched-without---loadopt semantics: lr_scheduler.load_state_dict with
+    a fresh optimizer, train.py:164-172)."""
+    if hasattr(opt_state, "_fields"):  # optax NamedTuple states
+        return type(opt_state)(**{
+            f: (np.asarray(step, getattr(opt_state, f).dtype)
+                if f == "count" else
+                _set_schedule_position(getattr(opt_state, f), step))
+            for f in opt_state._fields})
+    if isinstance(opt_state, tuple):
+        return tuple(_set_schedule_position(s, step) for s in opt_state)
+    if isinstance(opt_state, list):
+        return [_set_schedule_position(s, step) for s in opt_state]
+    if isinstance(opt_state, dict):
+        return {k: _set_schedule_position(v, step)
+                for k, v in opt_state.items()}
+    return opt_state
+
+
 def load_checkpoint(path: str, state, load_optimizer_state: bool = False,
+                    load_scheduler_state: bool = False,
                     load_logger: bool = False):
     """Restore into an existing TrainState template.  Returns (state, logger).
 
+    load_optimizer_state: restore the full optimizer state (moments + step).
+    load_scheduler_state: restore the LR-schedule position (step count) even
+        with a fresh optimizer — reference --loadsched (train.py:164-172).
     If `path` ends with .pth, converts a PyTorch reference checkpoint
     (model weights + BN stats only).
     """
@@ -95,7 +120,11 @@ def load_checkpoint(path: str, state, load_optimizer_state: bool = False,
             logger_state = pickle.load(f)
         print("Logger loaded.")
 
-    step = state.step if not load_optimizer_state else payload["step"]
+    resume_step = load_optimizer_state or load_scheduler_state
+    if load_scheduler_state and not load_optimizer_state:
+        opt_state = _set_schedule_position(opt_state, int(payload["step"]))
+        print("Scheduler state loaded.")
+    step = payload["step"] if resume_step else state.step
     state = TrainState(step=step, params=payload["params"],
                        batch_stats=payload["batch_stats"],
                        opt_state=opt_state)

@@ -25,6 +25,25 @@ def onecycle_linear(max_lr: float, total_steps: int, pct_start: float = 0.05,
     )
 
 
+def onecycle_linear_host(max_lr: float, total_steps: int,
+                         pct_start: float = 0.05, div_factor: float = 25.0,
+                         final_div_factor: float = 1e4):
+    """Pure-Python twin of onecycle_linear for host-side logging — calling the
+    optax schedule from the training loop would dispatch a device computation
+    and block every step."""
+    initial = max_lr / div_factor
+    final = initial / final_div_factor
+    warm = max(int(round(pct_start * total_steps)) - 1, 1)
+
+    def lr(step: int) -> float:
+        if step <= warm:
+            return initial + (max_lr - initial) * min(step / warm, 1.0)
+        t = min((step - warm) / (total_steps - 1 - warm), 1.0)
+        return max_lr + (final - max_lr) * t
+
+    return lr
+
+
 def make_optimizer(lr: float, num_steps: int, wdecay: float = 5e-5,
                    epsilon: float = 1e-8, clip: float = 1.0,
                    pct_start: float = 0.05):

@@ -121,3 +121,69 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     a = jax.tree.leaves(state.params)[0]
     b = jax.tree.leaves(state2.params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_host_schedule_matches_device_schedule():
+    from craft_tpu.training.optim import onecycle_linear, onecycle_linear_host
+
+    max_lr, total = 2.5e-4, 1000
+    dev = onecycle_linear(max_lr, total, pct_start=0.05)
+    host = onecycle_linear_host(max_lr, total, pct_start=0.05)
+    steps = [0, 1, 25, 49, 50, 51, 500, 998, 999, 1200]
+    # The device schedule computes in float32; the host twin is float64.
+    np.testing.assert_allclose([host(s) for s in steps],
+                               [float(dev(s)) for s in steps],
+                               rtol=2e-4, atol=1e-10)
+
+
+def test_loadsched_restores_schedule_position(tmp_path, rng):
+    """--loadsched without --loadopt: fresh optimizer moments, but the LR
+    schedule resumes from the checkpoint step (reference train.py:164-172)."""
+    import jax
+
+    from craft_tpu.config import raft_config
+    from craft_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+    from craft_tpu.training.train_step import (TrainState, create_train_state,
+                                               make_train_step)
+
+    cfg = raft_config(mixed_precision=False)
+    state, tx, _ = create_train_state(cfg, jax.random.PRNGKey(0),
+                                      image_shape=(64, 64), num_steps=50)
+    step_fn = jax.jit(make_train_step(cfg, tx, iters=1))
+    batch = _tiny_batch(rng)
+    for _ in range(3):
+        state, _ = step_fn(state, batch, jax.random.PRNGKey(1))
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, jax.device_get(state), None)
+
+    fresh, tx2, _ = create_train_state(cfg, jax.random.PRNGKey(2),
+                                       image_shape=(64, 64), num_steps=50)
+    resumed, _ = load_checkpoint(path, fresh, load_optimizer_state=False,
+                                 load_scheduler_state=True)
+    assert int(resumed.step) == 3
+    # Every count in the (otherwise fresh) optimizer state advanced to 3,
+    # so the OneCycle position resumes.
+    counts = [int(leaf) for leaf in jax.tree.leaves(resumed.opt_state)
+              if np.asarray(leaf).ndim == 0
+              and np.issubdtype(np.asarray(leaf).dtype, np.integer)]
+    assert counts and all(c == 3 for c in counts), counts
+    # Moments stayed fresh (zero), unlike --loadopt.
+    mu = resumed.opt_state[1][0].mu
+    assert all(np.allclose(np.asarray(x), 0) for x in jax.tree.leaves(mu))
+    # Without either flag, nothing resumes.
+    plain, _ = load_checkpoint(path, fresh)
+    assert int(plain.step) == 0
+
+
+def test_f2_half_rejected():
+    import argparse
+
+    import pytest as _pytest
+
+    from craft_tpu.cli import add_model_args, model_config_from_args
+
+    p = argparse.ArgumentParser()
+    add_model_args(p)
+    args = p.parse_args(["--craft", "--f2", "half"])
+    with _pytest.raises(SystemExit, match="f2 half"):
+        model_config_from_args(args)
