@@ -45,6 +45,25 @@ def _as_dense_bias(pos_biases):
     return pos_biases
 
 
+class LazyModeAttention(NamedTuple):
+    """Intra-frame attention held as (q, k, bias window) instead of a
+    materialized [B, M, U, U] prob tensor (~400 MB/sample fp16 at Sintel
+    size).  The motion aggregator re-applies flash attention each refinement
+    iteration: recomputing QK^T costs ~md/F extra MXU work on top of the
+    unavoidable probs@V matmul, far cheaper than streaming the U^2 probs from
+    HBM twelve times — and the tensor never exists, so batched serving isn't
+    memory-bound.  (Replaces the reference's materialized `attention` from
+    network.py:154-166 consumed by update.py:129-156.)"""
+
+    q: jnp.ndarray        # [B, M, U, md]
+    k: jnp.ndarray        # [B, M, U, md]
+    biases: jnp.ndarray   # [2R+1, 2R+1] sliding window
+    H: int
+    W: int
+    clip_val: jnp.ndarray  # conditional-clamp threshold (scalar)
+    pos_w: float
+
+
 def sliding_pos_biases(biases: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
     """Expand the learnable (2R+1)^2 window into a dense [H*W, H*W] bias table.
 
@@ -310,28 +329,23 @@ class CrossAttFeatTrans(nn.Module):
                                        name="attn_softaggr")
             agg_w, agg_b = agg.scalar_wb()
             iodt = self.dtype  # bf16 matmul inputs under mixed precision
-            gmax = jax.lax.stop_gradient(jnp.max(jax.vmap(
-                lambda qq, kk: scores_global_max(qq, kk, 1.0 / math.sqrt(md),
-                                                 interpret=interp,
-                                                 io_dtype=iodt)
-            )(jax.lax.stop_gradient(q), jax.lax.stop_gradient(k))))
+            # Batched kernels: B rides the Pallas grid, no per-sample vmap.
+            gmax = jax.lax.stop_gradient(scores_global_max(
+                jax.lax.stop_gradient(q), jax.lax.stop_gradient(k),
+                1.0 / math.sqrt(md), interpret=interp, io_dtype=iodt))
             clip_val = jnp.where(gmax > cfg.attn_clip, cfg.attn_clip, 1e30)
             if structured:
                 from craft_tpu.ops.pallas.corr_vjp import fused_agg_corr_diff
                 grid_hw = (pos_biases.H, pos_biases.W)
-                vol = jax.vmap(
-                    lambda qq, kk: fused_agg_corr_diff(
-                        qq, kk, pos_biases.biases, clip_val,
-                        cfg.pos_code_weight, agg_w, agg_b, grid_hw, interp,
-                        iodt),
-                )(q, k)
+                vol = fused_agg_corr_diff(
+                    q, k, pos_biases.biases, clip_val, cfg.pos_code_weight,
+                    agg_w, agg_b, grid_hw, interp, iodt)
             else:
                 bias2d = None if pos_biases is None else \
                     pos_biases.astype(jnp.float32)
-                vol = jax.vmap(lambda qq, kk: fused_agg_corr(
-                    qq, kk, bias2d, clip_val, cfg.pos_code_weight, agg_w,
-                    agg_b, interpret=interp, io_dtype=iodt,
-                ))(q, k)
+                vol = fused_agg_corr(
+                    q, k, bias2d, clip_val, cfg.pos_code_weight, agg_w,
+                    agg_b, interpret=interp, io_dtype=iodt)
             return vol[:, None]  # [B, 1, U1, U2]
 
         if (use_pallas and not cfg.out_attn_only and not cfg.has_FFN
@@ -340,32 +354,26 @@ class CrossAttFeatTrans(nn.Module):
                 flash_mode_attention, flash_mode_attention_mt,
                 scores_global_max)
             iodt = self.dtype
-            gmax = jnp.max(jax.vmap(
-                lambda qq, kk: scores_global_max(qq, kk, 1.0 / math.sqrt(md),
-                                                 interpret=interp,
-                                                 io_dtype=iodt)
-            )(q, k))
+            gmax = scores_global_max(q, k, 1.0 / math.sqrt(md),
+                                     interpret=interp, io_dtype=iodt)
             clip_val = jnp.where(gmax > cfg.attn_clip, cfg.attn_clip, 1e30)
 
             if structured:
                 grid_hw = (pos_biases.H, pos_biases.W)
 
                 def attention_fn(v4d):  # [B, M, U2, F] -> [B, M, U1, F]
-                    return jax.vmap(
-                        lambda qq, kk, vv: flash_mode_attention_mt(
-                            qq, kk, vv, pos_biases.biases, grid_hw, clip_val,
-                            cfg.pos_code_weight, interpret=interp,
-                            io_dtype=iodt,
-                        ))(q, k, v4d).astype(self.dtype)
+                    return flash_mode_attention_mt(
+                        q, k, v4d, pos_biases.biases, grid_hw, clip_val,
+                        cfg.pos_code_weight, interpret=interp,
+                        io_dtype=iodt).astype(self.dtype)
             else:
                 bias2d = None if pos_biases is None else \
                     pos_biases.astype(jnp.float32)
 
                 def attention_fn(v4d):  # [B, M, U2, F] -> [B, M, U1, F]
-                    return jax.vmap(lambda qq, kk, vv: flash_mode_attention(
-                        qq, kk, vv, bias2d, clip_val, cfg.pos_code_weight,
-                        interpret=interp, io_dtype=iodt,
-                    ))(q, k, v4d).astype(self.dtype)
+                    return flash_mode_attention(
+                        q, k, v4d, bias2d, clip_val, cfg.pos_code_weight,
+                        interpret=interp, io_dtype=iodt).astype(self.dtype)
 
             return ExpandedFeatTrans(cfg, dtype=self.dtype, name="out_trans")(
                 key_feat, None, deterministic=deterministic,
@@ -404,24 +412,33 @@ class CrossAttFeatTrans(nn.Module):
 
         if (use_pallas and cfg.out_attn_probs_only and structured
                 and not self.is_mutable_collection("intermediates")):
-            # Intra-attention probs without materializing fp32 scores.
             from craft_tpu.ops.pallas.mode_attention import (
                 mode_softmax_probs_mt, scores_global_max)
             iodt = self.dtype
-            gmax = jnp.max(jax.vmap(
-                lambda qq, kk: scores_global_max(qq, kk, 1.0 / math.sqrt(md),
-                                                 interpret=interp,
-                                                 io_dtype=iodt)
-            )(q, k))
+            gmax = scores_global_max(q, k, 1.0 / math.sqrt(md),
+                                     interpret=interp, io_dtype=iodt)
             clip_val = jnp.where(gmax > cfg.attn_clip, cfg.attn_clip, 1e30)
-            grid_hw = (pos_biases.H, pos_biases.W)
             if M > 1:
                 LearnedSoftAggregate(1, keepdim=True, dtype=jnp.float32,
                                      name="attn_softaggr").scalar_wb()
-            return jax.vmap(lambda qq, kk: mode_softmax_probs_mt(
-                qq, kk, pos_biases.biases, grid_hw, clip_val,
-                cfg.pos_code_weight, out_dtype=self.dtype,
-                interpret=interp, io_dtype=iodt))(q, k)
+            if B > 1:
+                # Batched serving: hand the consumer (q, k, bias window,
+                # clamp) instead of materialized probs — the aggregator
+                # applies flash attention per iteration (LazyModeAttention),
+                # so the [B, M, U, U] tensor (~400 MB/sample fp16 at Sintel
+                # size) never exists and throughput scales with batch.
+                return LazyModeAttention(
+                    q=q, k=k, biases=pos_biases.biases,
+                    H=pos_biases.H, W=pos_biases.W,
+                    clip_val=clip_val, pos_w=cfg.pos_code_weight)
+            # Single-pair latency mode: materialize probs once — the XLA
+            # probs@V einsum in the scan body overlaps with GRU compute,
+            # which a per-iteration Pallas custom call cannot (measured:
+            # 17.7 vs 13.4 fps at batch 1).
+            return mode_softmax_probs_mt(
+                q, k, pos_biases.biases, (pos_biases.H, pos_biases.W),
+                clip_val, cfg.pos_code_weight, out_dtype=self.dtype,
+                interpret=interp, io_dtype=iodt)
 
         probs = nn.softmax(scores, axis=-1).astype(self.dtype)
         # Attention dump hook: apply(..., mutable=['intermediates']) captures
@@ -487,6 +504,18 @@ class ExpandedFeatTrans(nn.Module):
                   bias_init=nn.initializers.zeros,
                   dtype=self.dtype, name="first_linear")(input_feat)
         v = v.reshape(B, U2, M, F).transpose(0, 2, 1, 3)  # [B, M, U2, F]
+
+        if isinstance(attention_probs, LazyModeAttention):
+            # Flash-aggregate: re-run the attention against this iteration's
+            # values instead of reading materialized probs from HBM.
+            la = attention_probs
+            from craft_tpu.ops.pallas.mode_attention import \
+                flash_mode_attention_mt
+            interp = jax.default_backend() != "tpu"
+            attention_fn = lambda v4d: flash_mode_attention_mt(  # noqa: E731
+                la.q, la.k, v4d, la.biases, (la.H, la.W), la.clip_val,
+                la.pos_w, interpret=interp,
+                io_dtype=self.dtype).astype(self.dtype)
 
         if attention_fn is not None:
             # Fused (flash) application — probs are never materialized.

@@ -28,9 +28,9 @@ import jax.numpy as jnp
 
 
 def _modes_scores(q, k, bias_dense, clip_val, pos_w):
-    """XLA recompute of clamped per-mode scores.  q, k: [M, U, md]."""
+    """XLA recompute of clamped per-mode scores.  q, k: [..., M, U, md]."""
     md = q.shape[-1]
-    c = jnp.einsum("mid,mjd->mij", q, k,
+    c = jnp.einsum("...mid,...mjd->...mij", q, k,
                    preferred_element_type=jnp.float32) / math.sqrt(md)
     s = jnp.clip(c, -clip_val, clip_val)
     if bias_dense is not None:
@@ -40,7 +40,8 @@ def _modes_scores(q, k, bias_dense, clip_val, pos_w):
 
 def _sliding_bias_grad(g: jnp.ndarray, H: int, W: int, R: int,
                        pos_w: float) -> jnp.ndarray:
-    """d(biases[dh+R, dw+R]) = pos_w * masked diagonal sums of g [U, U]."""
+    """d(biases[dh+R, dw+R]) = pos_w * masked diagonal sums of g [..., U, U]
+    (summed over any leading batch dims)."""
     U = H * W
     j_idx = jnp.arange(U) % W
     i_idx = jnp.arange(U) // W
@@ -49,7 +50,7 @@ def _sliding_bias_grad(g: jnp.ndarray, H: int, W: int, R: int,
         cols = []
         for dw in range(-R, R + 1):
             off = dh * W + dw
-            diag = jnp.diagonal(g, offset=off)
+            diag = jnp.diagonal(g, offset=off, axis1=-2, axis2=-1)
             ncut = U - abs(off)
             u1 = jnp.arange(ncut) + max(0, -off)
             valid = ((j_idx[u1] + dw >= 0) & (j_idx[u1] + dw < W)
@@ -63,8 +64,9 @@ def _sliding_bias_grad(g: jnp.ndarray, H: int, W: int, R: int,
 def fused_agg_corr_diff(q, k, biases, clip_val, pos_w, agg_w, agg_b,
                         grid_hw: Tuple[int, int], interpret: bool,
                         io_dtype=jnp.float32):
-    """Differentiable fused correlation volume.  q, k: [M, U, md];
-    biases: [2R+1, 2R+1] sliding window.  Returns [U, U] fp32.
+    """Differentiable fused correlation volume.  q, k: [M, U, md] or
+    [B, M, U, md] (batch = leading Pallas grid axis, no per-sample vmap);
+    biases: [2R+1, 2R+1] sliding window.  Returns [U, U] / [B, U, U] fp32.
 
     Forward kernel selection: block-Toeplitz bias assembly when the W8 tile
     aligns to Mosaic's (8, 128) constraint, otherwise the dense-bias kernel
@@ -104,15 +106,19 @@ def _bwd(grid_hw, interpret, io_dtype, res, g):
     bias_dense = sliding_pos_biases(biases, H, W)
     c, s = _modes_scores(q.astype(jnp.float32), k.astype(jnp.float32),
                          bias_dense, clip_val, pos_w)
+    vol_m = jnp.expand_dims(vol, -3)  # broadcast over the mode axis
+    g_m = jnp.expand_dims(g, -3)
     logits = agg_w * s
-    p = jax.nn.softmax(logits, axis=0)
-    t = p * (1.0 + agg_w * (s - vol[None]))
-    dc = (g[None] * t) * (jnp.abs(c) < clip_val)
+    p = jax.nn.softmax(logits, axis=-3)
+    t = p * (1.0 + agg_w * (s - vol_m))
+    dc = (g_m * t) * (jnp.abs(c) < clip_val)
 
-    dq = jnp.einsum("mij,mjd->mid", dc, k.astype(jnp.float32)) / math.sqrt(md)
-    dk = jnp.einsum("mij,mid->mjd", dc, q.astype(jnp.float32)) / math.sqrt(md)
+    dq = jnp.einsum("...mij,...mjd->...mid", dc,
+                    k.astype(jnp.float32)) / math.sqrt(md)
+    dk = jnp.einsum("...mij,...mid->...mjd", dc,
+                    q.astype(jnp.float32)) / math.sqrt(md)
     dbias = _sliding_bias_grad(g, H, W, R, pos_w)
-    da = jnp.sum(g[None] * p * s * (s - vol[None]))
+    da = jnp.sum(g_m * p * s * (s - vol_m))
     db = jnp.zeros_like(da)
     dclip = jnp.zeros_like(clip_val)
     dposw = jnp.sum(g * bias_dense)  # s_m each contain w*B: sum_m t_m == 1

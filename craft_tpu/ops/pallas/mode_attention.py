@@ -37,6 +37,16 @@ def _pad_to(x, size, axis, value=0.0):
     return jnp.pad(x, widths, constant_values=value)
 
 
+def _flatten_batch(*arrays):
+    """[B, M, U, d] -> [B*M, U, d] (batch folded into the mode grid axis —
+    all modes are independent in the per-mode kernels, so a batch is just
+    more modes).  3D inputs pass through unchanged."""
+    if arrays[0].ndim == 3:
+        return arrays, None
+    B, M = arrays[0].shape[:2]
+    return tuple(a.reshape((B * M,) + a.shape[2:]) for a in arrays), (B, M)
+
+
 # ---------------------------------------------------------------------------
 # Kernel 1: global max of mode attention scores (no materialization)
 # ---------------------------------------------------------------------------
@@ -63,12 +73,15 @@ def _max_kernel(q_ref, k_ref, out_ref, *, scale):
 
 def scores_global_max(q, k, scale, tq=512, tk=512, interpret=False,
                       io_dtype=jnp.float32):
-    """q, k: [M, U, md] -> scalar max of scale * q @ k^T over everything.
+    """q, k: [M, U, md] (or [B, M, U, md]) -> scalar max of scale * q @ k^T
+    over everything (the reference clamp predicate is a max over the whole
+    batched score tensor, setrans.py:520-529).
 
     Padded keys/queries are zero vectors -> score 0; since real volumes always
     contain values >= 0 somewhere this does not disturb the clamp predicate
     in practice, and the clamp itself is exact (applied to real tiles only).
     """
+    (q, k), _ = _flatten_batch(q, k)
     M, U1, md = q.shape
     U2 = k.shape[1]
     U1p = ((U1 + tq - 1) // tq) * tq
@@ -190,8 +203,10 @@ def flash_mode_attention(q, k, v, bias, clip_val, pos_w,
 
     q, k: [M, U, md]; v: [M, U2, F]; bias: [U, U2] (or None);
     clip_val: scalar (pass +inf to disable clamping).
-    Returns [M, U, F].
+    Returns [M, U, F].  Batched [B, M, ...] inputs fold B into the mode grid
+    axis (one kernel launch, no per-sample vmap dispatch).
     """
+    (q, k, v), bm = _flatten_batch(q, k, v)
     M, U1, md = q.shape
     U2, F = v.shape[1], v.shape[2]
     scale = 1.0 / (md ** 0.5)
@@ -232,7 +247,8 @@ def flash_mode_attention(q, k, v, bias, clip_val, pos_w,
         ],
         interpret=interpret,
     )(qp, kp, vp, biasp, jnp.asarray([clip_val], jnp.float32))
-    return out[:, :U1]
+    out = out[:, :U1]
+    return out.reshape(bm + out.shape[1:]) if bm else out
 
 
 def _flash_kernel_mt(q_ref, k_ref, v_ref, m_ref, clip_ref, out_ref,
@@ -276,7 +292,9 @@ def flash_mode_attention_mt(q, k, v, biases, grid_hw, clip_val, pos_w,
                             io_dtype=jnp.float32):
     """flash_mode_attention with the sliding bias assembled in-kernel from
     the [2R+1, W8, W8] block-Toeplitz table (self-attention: U1 == U2 ==
-    H8*W8 given by grid_hw)."""
+    H8*W8 given by grid_hw).  Batched [B, M, ...] inputs fold B into the
+    mode grid axis."""
+    (q, k, v), bm = _flatten_batch(q, k, v)
     M, U1, md = q.shape
     H8, W8 = grid_hw
     U2, F = v.shape[1], v.shape[2]
@@ -321,13 +339,15 @@ def flash_mode_attention_mt(q, k, v, biases, grid_hw, clip_val, pos_w,
         ],
         interpret=interpret,
     )(qp, kp, vp, mtable, jnp.asarray([clip_val], jnp.float32))
-    return out[:, :U1]
+    out = out[:, :U1]
+    return out.reshape(bm + out.shape[1:]) if bm else out
 
 
 def _agg_corr_kernel_mt(q_ref, k_ref, m_ref, scal_ref, out_ref, *, scale,
                         num_modes, rq, rk, w8, R):
-    it = pl.program_id(0)
-    kt = pl.program_id(1)
+    # Grid: (batch, q_tiles, k_tiles); q_ref/k_ref are [1, M, T, md].
+    it = pl.program_id(1)
+    kt = pl.program_id(2)
     clip_val = scal_ref[0]
     pos_w = scal_ref[1]
     agg_w = scal_ref[2]
@@ -338,7 +358,7 @@ def _agg_corr_kernel_mt(q_ref, k_ref, m_ref, scal_ref, out_ref, *, scale,
     ss = []
     for mode in range(num_modes):
         s = jax.lax.dot_general(
-            q_ref[mode], k_ref[mode],
+            q_ref[0, mode], k_ref[0, mode],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         s = jnp.clip(s, -clip_val, clip_val) + bias
@@ -354,16 +374,20 @@ def _agg_corr_kernel_mt(q_ref, k_ref, m_ref, scal_ref, out_ref, *, scale,
     acc = exps[0] * ss[0]
     for e, s in zip(exps[1:], ss[1:]):
         acc = acc + e * s
-    out_ref[:] = acc / denom
+    out_ref[0] = acc / denom
 
 
 def fused_agg_corr_mt(q, k, biases, grid_hw, clip_val, pos_w, agg_w, agg_b,
                       interpret=False, io_dtype=jnp.float32):
     """fused_agg_corr with in-kernel sliding-bias assembly (U1 == U2 ==
-    H8*W8)."""
-    M, U1, md = q.shape
+    H8*W8).  q, k: [M, U, md] or [B, M, U, md] (batch = leading grid axis);
+    returns [U, U] / [B, U, U]."""
+    batched = q.ndim == 4
+    if not batched:
+        q, k = q[None], k[None]
+    B, M, U1, md = q.shape
     H8, W8 = grid_hw
-    U2 = k.shape[1]
+    U2 = k.shape[2]
     assert U1 == H8 * W8 and U2 == U1
     R = (biases.shape[0] - 1) // 2
     scale = 1.0 / (md ** 0.5)
@@ -372,31 +396,32 @@ def fused_agg_corr_mt(q, k, biases, grid_hw, clip_val, pos_w, agg_w, agg_b,
     tq, tk = rq * W8, rk * W8
     U1p = ((U1 + tq - 1) // tq) * tq
     U2p = ((U2 + tk - 1) // tk) * tk
-    qp = _pad_to(q, U1p, 1).astype(io_dtype)
-    kp = _pad_to(k, U2p, 1).astype(io_dtype)
+    qp = _pad_to(q, U1p, 2).astype(io_dtype)
+    kp = _pad_to(k, U2p, 2).astype(io_dtype)
     mtable = make_rowbias_table(biases, W8)
     scal = jnp.asarray([clip_val, pos_w, agg_w, agg_b], jnp.float32)
 
-    grid = (U1p // tq, U2p // tk)
+    grid = (B, U1p // tq, U2p // tk)
     out = pl.pallas_call(
         functools.partial(_agg_corr_kernel_mt, scale=scale, num_modes=M,
                           rq=rq, rk=rk, w8=W8, R=R),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((M, tq, md), lambda i, j: (0, i, 0),
+            pl.BlockSpec((1, M, tq, md), lambda b, i, j: (b, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, tk, md), lambda i, j: (0, j, 0),
+            pl.BlockSpec((1, M, tk, md), lambda b, i, j: (b, 0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * R + 1, W8, W8), lambda i, j: (0, 0, 0),
+            pl.BlockSpec((2 * R + 1, W8, W8), lambda b, i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((tq, tk), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((1, tq, tk), lambda b, i, j: (b, i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((U1p, U2p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, U1p, U2p), jnp.float32),
         interpret=interpret,
     )(qp, kp, mtable, scal)
-    return out[:U1, :U2]
+    out = out[:, :U1, :U2]
+    return out if batched else out[0]
 
 
 # ---------------------------------------------------------------------------
@@ -447,7 +472,9 @@ def mode_softmax_probs_mt(q, k, biases, grid_hw, clip_val, pos_w,
                           out_dtype=jnp.bfloat16, interpret=False,
                           io_dtype=jnp.float32):
     """probs[m] = softmax(clamp(scale q_m k_m^T) + pos_w * bias) without ever
-    materializing fp32 scores.  Returns [M, U, U] in out_dtype."""
+    materializing fp32 scores.  Returns [M, U, U] in out_dtype.  Batched
+    [B, M, ...] inputs fold B into the mode grid axis."""
+    (q, k), bm = _flatten_batch(q, k)
     M, U1, md = q.shape
     H8, W8 = grid_hw
     U2 = k.shape[1]
@@ -487,7 +514,8 @@ def mode_softmax_probs_mt(q, k, biases, grid_hw, clip_val, pos_w,
         ],
         interpret=interpret,
     )(qp, kp, mtable, jnp.asarray([clip_val], jnp.float32))
-    return out[:, :U1, :U2]
+    out = out[:, :U1, :U2]
+    return out.reshape(bm + out.shape[1:]) if bm else out
 
 
 # ---------------------------------------------------------------------------
@@ -496,6 +524,7 @@ def mode_softmax_probs_mt(q, k, biases, grid_hw, clip_val, pos_w,
 
 def _agg_corr_kernel(q_ref, k_ref, bias_ref, scal_ref, out_ref, *, scale,
                      num_modes):
+    # Grid: (batch, q_tiles, k_tiles); q_ref/k_ref are [1, M, T, md].
     # scal_ref: [4] = (clip_val, pos_w, agg_w, agg_b)
     clip_val = scal_ref[0]
     pos_w = scal_ref[1]
@@ -508,7 +537,7 @@ def _agg_corr_kernel(q_ref, k_ref, bias_ref, scal_ref, out_ref, *, scale,
     ss = []
     for mode in range(num_modes):
         s = jax.lax.dot_general(
-            q_ref[mode], k_ref[mode],
+            q_ref[0, mode], k_ref[0, mode],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         s = jnp.clip(s, -clip_val, clip_val) + bias
@@ -527,7 +556,7 @@ def _agg_corr_kernel(q_ref, k_ref, bias_ref, scal_ref, out_ref, *, scale,
     acc = exps[0] * ss[0]
     for e, s in zip(exps[1:], ss[1:]):
         acc = acc + e * s
-    out_ref[:] = acc / denom
+    out_ref[0] = acc / denom
 
 
 def fused_agg_corr(q, k, bias, clip_val, pos_w, agg_w, agg_b,
@@ -536,36 +565,42 @@ def fused_agg_corr(q, k, bias, clip_val, pos_w, agg_w, agg_b,
 
     out[i, j] = sum_m softmax_m(agg_w * s_m[i,j] + agg_b) * s_m[i,j],
     s_m = clamp(scale * q_m k_m^T) + pos_w * bias.
-    q, k: [M, U, md]; bias: [U1, U2] or None.  Returns [U1, U2] fp32.
+    q, k: [M, U, md] or [B, M, U, md] (batch = leading grid axis);
+    bias: [U1, U2] or None (shared across the batch).
+    Returns [U1, U2] / [B, U1, U2] fp32.
     """
-    M, U1, md = q.shape
-    U2 = k.shape[1]
+    batched = q.ndim == 4
+    if not batched:
+        q, k = q[None], k[None]
+    B, M, U1, md = q.shape
+    U2 = k.shape[2]
     scale = 1.0 / (md ** 0.5)
     U1p = ((U1 + tq - 1) // tq) * tq
     U2p = ((U2 + tk - 1) // tk) * tk
-    qp = _pad_to(q, U1p, 1).astype(io_dtype)
-    kp = _pad_to(k, U2p, 1).astype(io_dtype)
+    qp = _pad_to(q, U1p, 2).astype(io_dtype)
+    kp = _pad_to(k, U2p, 2).astype(io_dtype)
     if bias is None:
         bias = jnp.zeros((U1, U2), jnp.float32)
     biasp = _pad_to(_pad_to(bias.astype(jnp.float32), U2p, 1), U1p, 0)
     scal = jnp.asarray([clip_val, pos_w, agg_w, agg_b], jnp.float32)
 
-    grid = (U1p // tq, U2p // tk)
+    grid = (B, U1p // tq, U2p // tk)
     out = pl.pallas_call(
         functools.partial(_agg_corr_kernel, scale=scale, num_modes=M),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((M, tq, md), lambda i, j: (0, i, 0),
+            pl.BlockSpec((1, M, tq, md), lambda b, i, j: (b, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, tk, md), lambda i, j: (0, j, 0),
+            pl.BlockSpec((1, M, tk, md), lambda b, i, j: (b, 0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq, tk), lambda i, j: (i, j),
+            pl.BlockSpec((tq, tk), lambda b, i, j: (i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((tq, tk), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((1, tq, tk), lambda b, i, j: (b, i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((U1p, U2p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, U1p, U2p), jnp.float32),
         interpret=interpret,
     )(qp, kp, biasp, scal)
-    return out[:U1, :U2]
+    out = out[:, :U1, :U2]
+    return out if batched else out[0]
