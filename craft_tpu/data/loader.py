@@ -2,14 +2,21 @@
 reference's torch DataLoader + DistributedSampler (reference datasets.py:569-577,
 train_ddp.py semantics: per-process dataset shard, per-worker seeding, drop_last).
 
-Thread-pool prefetch: augmentation is numpy/cv2/PIL which release the GIL for
-the heavy parts; a background pool keeps the accelerator fed while the train
-step runs.  For multi-host, pass process_index/process_count to shard batches
-the way DistributedSampler does.
+Two prefetch backends:
+  * ``MultiprocessLoader`` (default for training): forked worker *processes*,
+    the analog of the reference's num_workers=4 torch DataLoader
+    (datasets.py:576-577) — PIL/ImageEnhance and the numpy augmentation chain
+    hold the GIL, so threads cannot scale decode on many-core hosts.
+  * ``ShardedLoader``: thread-pool prefetch (zero-copy, no fork) for
+    evaluation pipelines and platforms where fork is unavailable.
+
+For multi-host, pass process_index/process_count to shard batches the way
+DistributedSampler does.
 """
 
 from __future__ import annotations
 
+import multiprocessing as mp
 import queue
 import random as _random
 import threading
@@ -113,10 +120,98 @@ class ShardedLoader:
         self.epoch += 1
 
 
-class InfiniteLoader:
-    """Wraps ShardedLoader to iterate forever (training-step driven)."""
+def _mp_worker(dataset, batches, seed, result_q):
+    """Worker-process loop: load + collate an assigned list of batches.
 
-    def __init__(self, loader: ShardedLoader):
+    Runs in a forked child; touches only numpy/PIL (never jax — the parent's
+    TPU client must not be exercised post-fork)."""
+    try:
+        np.random.seed(seed % (2 ** 31))
+        _random.seed(seed)
+        for bi, b in batches:
+            result_q.put((bi, _collate([dataset[int(i)] for i in b])))
+    except KeyboardInterrupt:
+        pass
+    finally:
+        result_q.put((-1, None))  # worker-done sentinel
+
+
+class MultiprocessLoader:
+    """Epoch-shuffled, sharded batch iterator fed by worker processes.
+
+    Same sampling semantics as ShardedLoader (global per-epoch shuffle,
+    strided process shard, drop_last, per-(epoch, worker) seeding); batches
+    are assigned to workers round-robin (torch DataLoader order) and emitted
+    strictly in order.  Reference: core/datasets.py:569-577 (num_workers=4
+    per-GPU loader processes).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 num_workers: int = 4, drop_last: bool = True,
+                 process_index: int = 0, process_count: int = 1,
+                 seed: int = 1234, prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = process_count
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+        self._ctx = mp.get_context("fork")
+
+    __len__ = ShardedLoader.__len__
+    _epoch_indices = ShardedLoader._epoch_indices
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        indices = self._epoch_indices()
+        nb = len(indices) // self.batch_size if self.drop_last else \
+            (len(indices) + self.batch_size - 1) // self.batch_size
+        batches = [(bi, indices[bi * self.batch_size:
+                                (bi + 1) * self.batch_size])
+                   for bi in range(nb)]
+        nw = min(self.num_workers, max(1, nb))
+        result_q = self._ctx.Queue(maxsize=self.prefetch + nw)
+        procs = []
+        for wid in range(nw):
+            p = self._ctx.Process(
+                target=_mp_worker,
+                args=(self.dataset, batches[wid::nw],
+                      self.seed + self.epoch * 1000 + wid, result_q),
+                daemon=True)
+            p.start()
+            procs.append(p)
+        try:
+            buffered, next_emit, done = {}, 0, 0
+            while next_emit < nb:
+                while next_emit not in buffered:
+                    bi, batch = result_q.get()
+                    if bi < 0:
+                        done += 1
+                        if done == nw:  # all workers done, batch still missing
+                            raise RuntimeError(
+                                "loader workers exited before producing all "
+                                f"batches ({next_emit}/{nb})")
+                        continue
+                    buffered[bi] = batch
+                yield buffered.pop(next_emit)
+                next_emit += 1
+        finally:
+            for p in procs:
+                if p.is_alive():
+                    p.terminate()
+            for p in procs:
+                p.join(timeout=5)
+            result_q.close()
+        self.epoch += 1
+
+
+class InfiniteLoader:
+    """Wraps a loader to iterate forever (training-step driven)."""
+
+    def __init__(self, loader):
         self.loader = loader
 
     def __iter__(self):

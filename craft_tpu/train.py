@@ -42,6 +42,10 @@ def parse_args(argv=None):
                    help="per-process batch (global = batch * n_processes, "
                         "DDP parity)")
     p.add_argument("--workers", dest="num_workers", type=int, default=4)
+    p.add_argument("--loader_backend", choices=("process", "thread"),
+                   default="process",
+                   help="prefetch backend: forked worker processes "
+                        "(reference DataLoader parity) or GIL-bound threads")
     p.add_argument("--image_size", type=int, nargs="+", default=[384, 512])
     p.add_argument("--wdecay", type=float, default=0.00005)
     p.add_argument("--epsilon", type=float, default=1e-8)
@@ -72,7 +76,8 @@ def main(argv=None):
     jax = setup_jax()
 
     from craft_tpu.data.datasets import fetch_training_dataset
-    from craft_tpu.data.loader import InfiniteLoader, ShardedLoader
+    from craft_tpu.data.loader import (InfiniteLoader, MultiprocessLoader,
+                                       ShardedLoader)
     from craft_tpu.parallel.mesh import (initialize_distributed,
                                          make_data_mesh, replicate_state,
                                          shard_batch)
@@ -130,11 +135,15 @@ def main(argv=None):
         print(f"Using {n_dev}/{len(jax.devices())} devices "
               f"(batch {args.batch_size} divisibility)")
     mesh = make_data_mesh(jax.devices()[:n_dev])
-    loader = ShardedLoader(dataset, args.batch_size,
-                           num_workers=args.num_workers,
-                           process_index=jax.process_index(),
-                           process_count=jax.process_count(),
-                           seed=args.seed)
+    # Worker *processes* (reference datasets.py:576-577 num_workers=4):
+    # PIL + the numpy aug chain hold the GIL, so threads cannot scale decode.
+    loader_cls = ShardedLoader if args.loader_backend == "thread" \
+        else MultiprocessLoader
+    loader = loader_cls(dataset, args.batch_size,
+                        num_workers=args.num_workers,
+                        process_index=jax.process_index(),
+                        process_count=jax.process_count(),
+                        seed=args.seed)
 
     state = replicate_state(mesh, state)
     step_rng = jax.random.PRNGKey(args.seed + 7)
