@@ -45,7 +45,8 @@ def _as_dense_bias(pos_biases):
     return pos_biases
 
 
-class LazyModeAttention(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class LazyModeAttention:
     """Intra-frame attention held as (q, k, bias window) instead of a
     materialized [B, M, U, U] prob tensor (~400 MB/sample fp16 at Sintel
     size).  The motion aggregator re-applies flash attention each refinement
@@ -53,15 +54,30 @@ class LazyModeAttention(NamedTuple):
     unavoidable probs@V matmul, far cheaper than streaming the U^2 probs from
     HBM twelve times — and the tensor never exists, so batched serving isn't
     memory-bound.  (Replaces the reference's materialized `attention` from
-    network.py:154-166 consumed by update.py:129-156.)"""
+    network.py:154-166 consumed by update.py:129-156.)
 
-    q: jnp.ndarray        # [B, M, U, md]
-    k: jnp.ndarray        # [B, M, U, md]
-    biases: jnp.ndarray   # [2R+1, 2R+1] sliding window
-    H: int
-    W: int
-    clip_val: jnp.ndarray  # conditional-clamp threshold (scalar)
-    pos_w: float
+    Registered as a pytree with (H, W, pos_w) static so the grid shape stays
+    a Python int across jit boundaries."""
+
+    def __init__(self, q, k, biases, H, W, clip_val, pos_w):
+        self.q = q            # [B, M, U, md]
+        self.k = k            # [B, M, U, md]
+        self.biases = biases  # [2R+1, 2R+1] sliding window
+        self.H = H
+        self.W = W
+        self.clip_val = clip_val  # conditional-clamp threshold (scalar)
+        self.pos_w = pos_w
+
+    def tree_flatten(self):
+        return (self.q, self.k, self.biases, self.clip_val), \
+            (self.H, self.W, self.pos_w)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        q, k, biases, clip_val = children
+        H, W, pos_w = aux
+        return cls(q=q, k=k, biases=biases, H=H, W=W, clip_val=clip_val,
+                   pos_w=pos_w)
 
 
 def sliding_pos_biases(biases: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
@@ -269,7 +285,12 @@ class CrossAttFeatTrans(nn.Module):
 
     @nn.compact
     def __call__(self, query_feat, key_feat=None, pos_biases=None,
-                 attention_mask=None, deterministic: bool = True):
+                 attention_mask=None, deterministic: bool = True,
+                 fused_norm_dtype=None):
+        """fused_norm_dtype (scores-only sites): request the fused
+        clamp+aggregate+global-layer-norm kernel; the return becomes a
+        (volume, normalized: bool) pair — ([B, U1, U2] in that dtype when
+        normalized, else the raw [B, 1, U1, U2] scores)."""
         cfg = self.cfg
         if key_feat is None:
             key_feat = query_feat
@@ -324,11 +345,24 @@ class CrossAttFeatTrans(nn.Module):
                          and (deterministic or structured))
         if scores_pallas and cfg.out_attn_scores_only and M > 1:
             from craft_tpu.ops.pallas.mode_attention import (
-                fused_agg_corr, fused_agg_corr_mt, scores_global_max)
+                _fused_norm_tiles, fused_agg_corr, fused_agg_corr_norm_mt,
+                scores_global_max)
             agg = LearnedSoftAggregate(1, keepdim=True, dtype=jnp.float32,
                                        name="attn_softaggr")
             agg_w, agg_b = agg.scalar_wb()
             iodt = self.dtype  # bf16 matmul inputs under mixed precision
+            if (fused_norm_dtype is not None and deterministic and structured
+                    and _fused_norm_tiles(pos_biases.H, pos_biases.W)
+                    is not None):
+                # One fused pass: conditional clamp (predicate in-kernel) +
+                # soft-aggregation + global layer-norm; the only volume-sized
+                # HBM traffic is the normalized level-0 write.
+                vol, _ = fused_agg_corr_norm_mt(
+                    q, k, pos_biases.biases, (pos_biases.H, pos_biases.W),
+                    cfg.attn_clip, cfg.pos_code_weight, agg_w, agg_b,
+                    out_dtype=fused_norm_dtype, interpret=interp,
+                    io_dtype=iodt)
+                return vol, True  # [B, U1, U2] normalized
             # Batched kernels: B rides the Pallas grid, no per-sample vmap.
             gmax = jax.lax.stop_gradient(scores_global_max(
                 jax.lax.stop_gradient(q), jax.lax.stop_gradient(k),
@@ -346,7 +380,8 @@ class CrossAttFeatTrans(nn.Module):
                 vol = fused_agg_corr(
                     q, k, bias2d, clip_val, cfg.pos_code_weight, agg_w,
                     agg_b, interpret=interp, io_dtype=iodt)
-            return vol[:, None]  # [B, 1, U1, U2]
+            out = vol[:, None]  # [B, 1, U1, U2]
+            return (out, False) if fused_norm_dtype is not None else out
 
         if (use_pallas and not cfg.out_attn_only and not cfg.has_FFN
                 and not cfg.ablate_multihead):
@@ -408,7 +443,7 @@ class CrossAttFeatTrans(nn.Module):
             if M > 1:
                 scores = LearnedSoftAggregate(1, keepdim=True, dtype=jnp.float32,
                                               name="attn_softaggr")(scores)
-            return scores
+            return (scores, False) if fused_norm_dtype is not None else scores
 
         if (use_pallas and cfg.out_attn_probs_only and structured
                 and not self.is_mutable_collection("intermediates")):
@@ -421,20 +456,23 @@ class CrossAttFeatTrans(nn.Module):
             if M > 1:
                 LearnedSoftAggregate(1, keepdim=True, dtype=jnp.float32,
                                      name="attn_softaggr").scalar_wb()
-            if B > 1:
-                # Batched serving: hand the consumer (q, k, bias window,
+            probs_bytes = B * M * U1 * U2 * jnp.dtype(self.dtype).itemsize
+            if probs_bytes > 4e9:
+                # Huge-batch serving: hand the consumer (q, k, bias window,
                 # clamp) instead of materialized probs — the aggregator
                 # applies flash attention per iteration (LazyModeAttention),
-                # so the [B, M, U, U] tensor (~400 MB/sample fp16 at Sintel
-                # size) never exists and throughput scales with batch.
+                # so the [B, M, U, U] tensor never exists and the batch fits
+                # in HBM.  Measured: materialized probs are FASTER whenever
+                # they fit (19.4 vs 16.6 pairs/s at batch 8, Sintel size —
+                # this chip streams probs at ~700 GB/s, beating the flash
+                # recompute), so lazy kicks in only past ~4 GB of probs.
                 return LazyModeAttention(
                     q=q, k=k, biases=pos_biases.biases,
                     H=pos_biases.H, W=pos_biases.W,
                     clip_val=clip_val, pos_w=cfg.pos_code_weight)
-            # Single-pair latency mode: materialize probs once — the XLA
-            # probs@V einsum in the scan body overlaps with GRU compute,
-            # which a per-iteration Pallas custom call cannot (measured:
-            # 17.7 vs 13.4 fps at batch 1).
+            # Materialize probs once; the XLA probs@V einsum in the scan
+            # body overlaps with GRU compute, which a per-iteration Pallas
+            # custom call cannot (measured: 17.7 vs 13.4 fps at batch 1).
             return mode_softmax_probs_mt(
                 q, k, pos_biases.biases, (pos_biases.H, pos_biases.W),
                 clip_val, cfg.pos_code_weight, out_dtype=self.dtype,

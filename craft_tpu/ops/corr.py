@@ -115,6 +115,38 @@ def build_pyramid(
                        radius=radius, dim=D)
 
 
+def pyramid_from_level0(
+    level0: jnp.ndarray,
+    batch: int,
+    h1: int,
+    w1: int,
+    num_levels: int = 4,
+    radius: int = 4,
+    level_dtype=jnp.bfloat16,
+) -> CorrPyramid:
+    """Pyramid from an already-normalized base volume (the fused
+    clamp+norm Pallas kernel writes level 0 directly; see
+    ops/pallas/mode_attention.py::fused_agg_corr_norm_mt).
+
+    level0: [B, U1, U2] in level_dtype.  Pooling accumulates in fp32 via
+    strided slices (elementwise adds fuse with the dtype converts — a
+    reduce_window on a converted copy would materialize the volume in fp32
+    again)."""
+    B, U1, U2 = level0.shape
+    base = level0.reshape(B * U1, h1, w1)
+    levels = [base.astype(level_dtype)]
+    cur = base
+    for _ in range(num_levels - 1):
+        h, w = (cur.shape[1] // 2) * 2, (cur.shape[2] // 2) * 2
+        c = cur[:, :h, :w].astype(jnp.float32)
+        cur = ((c[:, 0::2, 0::2] + c[:, 1::2, 0::2]
+                + c[:, 0::2, 1::2] + c[:, 1::2, 1::2]) * 0.25).astype(
+            level_dtype)
+        levels.append(cur)
+    return CorrPyramid(levels=tuple(levels), batch=batch, h1=h1, w1=w1,
+                       radius=radius, dim=1)
+
+
 def plain_corr_pyramid(
     fmap1: jnp.ndarray,
     fmap2: jnp.ndarray,

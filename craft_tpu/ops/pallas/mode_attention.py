@@ -51,14 +51,16 @@ def _flatten_batch(*arrays):
 # Kernel 1: global max of mode attention scores (no materialization)
 # ---------------------------------------------------------------------------
 
-def _max_kernel(q_ref, k_ref, out_ref, *, scale):
-    # q_ref: [M, TQ, md]; k_ref: [M, TK, md]; out_ref: [1, 1]
+def _max_kernel(q_ref, kt_ref, out_ref, *, scale):
+    # q_ref: [M, TQ, md]; kt_ref: [M, md, TK] (k pre-transposed so the MXU
+    # contraction is lanes(q) x sublanes(kt) — no per-step relayout);
+    # out_ref: [1, 1]
     M = q_ref.shape[0]
     m = NEG_INF
     for mode in range(M):
         s = jax.lax.dot_general(
-            q_ref[mode], k_ref[mode],
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            q_ref[mode], kt_ref[mode],
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         m = jnp.maximum(m, jnp.max(s))
     i = pl.program_id(0)
@@ -87,7 +89,7 @@ def scores_global_max(q, k, scale, tq=512, tk=512, interpret=False,
     U1p = ((U1 + tq - 1) // tq) * tq
     U2p = ((U2 + tk - 1) // tk) * tk
     qp = _pad_to(q, U1p, 1).astype(io_dtype)
-    kp = _pad_to(k, U2p, 1).astype(io_dtype)
+    ktp = jnp.swapaxes(_pad_to(k, U2p, 1).astype(io_dtype), 1, 2)
     grid = (U1p // tq, U2p // tk)
     out = pl.pallas_call(
         functools.partial(_max_kernel, scale=scale),
@@ -95,14 +97,14 @@ def scores_global_max(q, k, scale, tq=512, tk=512, interpret=False,
         in_specs=[
             pl.BlockSpec((M, tq, md), lambda i, j: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, tk, md), lambda i, j: (0, j, 0),
+            pl.BlockSpec((M, md, tk), lambda i, j: (0, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         interpret=interpret,
-    )(qp, kp)
+    )(qp, ktp)
     return out[0, 0]
 
 
@@ -162,7 +164,7 @@ def _bias_tile_from_mtable(m_ref, qi0, kh0, rq, rk, w8, R):
 # Kernel 2: flash multi-mode attention (f2 transformer core)
 # ---------------------------------------------------------------------------
 
-def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, clip_ref, out_ref,
+def _flash_kernel(q_ref, kt_ref, v_ref, bias_ref, clip_ref, out_ref,
                   acc_ref, m_ref, l_ref, *, scale, pos_w, nkv):
     # Grid: (modes, q_tiles, k_tiles) with k innermost.
     kt = pl.program_id(2)
@@ -175,7 +177,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, clip_ref, out_ref,
 
     clip_val = clip_ref[0]
     s = jax.lax.dot_general(
-        q_ref[0], k_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        q_ref[0], kt_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
     s = jnp.clip(s, -clip_val, clip_val)
     s = s + pos_w * bias_ref[:]  # bias carries -inf on padded keys
@@ -214,7 +216,7 @@ def flash_mode_attention(q, k, v, bias, clip_val, pos_w,
     U2p = ((U2 + tk - 1) // tk) * tk
 
     qp = _pad_to(q, U1p, 1).astype(io_dtype)
-    kp = _pad_to(k, U2p, 1).astype(io_dtype)
+    ktp = jnp.swapaxes(_pad_to(k, U2p, 1).astype(io_dtype), 1, 2)
     vp = _pad_to(v, U2p, 1).astype(io_dtype)
     if bias is None:
         bias = jnp.zeros((U1, U2), jnp.float32)
@@ -229,7 +231,7 @@ def flash_mode_attention(q, k, v, bias, clip_val, pos_w,
         in_specs=[
             pl.BlockSpec((1, tq, md), lambda m, i, j: (m, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk, md), lambda m, i, j: (m, j, 0),
+            pl.BlockSpec((1, md, tk), lambda m, i, j: (m, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tk, F), lambda m, i, j: (m, j, 0),
                          memory_space=pltpu.VMEM),
@@ -246,12 +248,12 @@ def flash_mode_attention(q, k, v, bias, clip_val, pos_w,
             pltpu.VMEM((tq, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(qp, kp, vp, biasp, jnp.asarray([clip_val], jnp.float32))
+    )(qp, ktp, vp, biasp, jnp.asarray([clip_val], jnp.float32))
     out = out[:, :U1]
     return out.reshape(bm + out.shape[1:]) if bm else out
 
 
-def _flash_kernel_mt(q_ref, k_ref, v_ref, m_ref, clip_ref, out_ref,
+def _flash_kernel_mt(q_ref, kt_ref, v_ref, m_ref, clip_ref, out_ref,
                      acc_ref, mx_ref, l_ref, *, scale, pos_w, nkv, rq, rk,
                      w8, R, u2_valid):
     it = pl.program_id(1)
@@ -265,7 +267,7 @@ def _flash_kernel_mt(q_ref, k_ref, v_ref, m_ref, clip_ref, out_ref,
 
     clip_val = clip_ref[0]
     s = jax.lax.dot_general(
-        q_ref[0], k_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        q_ref[0], kt_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
     s = jnp.clip(s, -clip_val, clip_val)
     s = s + pos_w * _bias_tile_from_mtable(m_ref, it * rq, kt * rk, rq, rk,
@@ -308,7 +310,7 @@ def flash_mode_attention_mt(q, k, v, biases, grid_hw, clip_val, pos_w,
     U2p = ((U2 + tk - 1) // tk) * tk
 
     qp = _pad_to(q, U1p, 1).astype(io_dtype)
-    kp = _pad_to(k, U2p, 1).astype(io_dtype)
+    ktp = jnp.swapaxes(_pad_to(k, U2p, 1).astype(io_dtype), 1, 2)
     vp = _pad_to(v, U2p, 1).astype(io_dtype)
     mtable = make_rowbias_table(biases, W8)
 
@@ -321,7 +323,7 @@ def flash_mode_attention_mt(q, k, v, biases, grid_hw, clip_val, pos_w,
         in_specs=[
             pl.BlockSpec((1, tq, md), lambda m, i, j: (m, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk, md), lambda m, i, j: (m, j, 0),
+            pl.BlockSpec((1, md, tk), lambda m, i, j: (m, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tk, F), lambda m, i, j: (m, j, 0),
                          memory_space=pltpu.VMEM),
@@ -338,14 +340,15 @@ def flash_mode_attention_mt(q, k, v, biases, grid_hw, clip_val, pos_w,
             pltpu.VMEM((tq, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(qp, kp, vp, mtable, jnp.asarray([clip_val], jnp.float32))
+    )(qp, ktp, vp, mtable, jnp.asarray([clip_val], jnp.float32))
     out = out[:, :U1]
     return out.reshape(bm + out.shape[1:]) if bm else out
 
 
-def _agg_corr_kernel_mt(q_ref, k_ref, m_ref, scal_ref, out_ref, *, scale,
+def _agg_corr_kernel_mt(q_ref, kt_ref, m_ref, scal_ref, out_ref, *, scale,
                         num_modes, rq, rk, w8, R):
-    # Grid: (batch, q_tiles, k_tiles); q_ref/k_ref are [1, M, T, md].
+    # Grid: (batch, q_tiles, k_tiles); q_ref [1, M, TQ, md],
+    # kt_ref [1, M, md, TK] (pre-transposed, MXU-natural contraction).
     it = pl.program_id(1)
     kt = pl.program_id(2)
     clip_val = scal_ref[0]
@@ -358,8 +361,8 @@ def _agg_corr_kernel_mt(q_ref, k_ref, m_ref, scal_ref, out_ref, *, scale,
     ss = []
     for mode in range(num_modes):
         s = jax.lax.dot_general(
-            q_ref[0, mode], k_ref[0, mode],
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            q_ref[0, mode], kt_ref[0, mode],
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         s = jnp.clip(s, -clip_val, clip_val) + bias
         ss.append(s)
@@ -397,7 +400,7 @@ def fused_agg_corr_mt(q, k, biases, grid_hw, clip_val, pos_w, agg_w, agg_b,
     U1p = ((U1 + tq - 1) // tq) * tq
     U2p = ((U2 + tk - 1) // tk) * tk
     qp = _pad_to(q, U1p, 2).astype(io_dtype)
-    kp = _pad_to(k, U2p, 2).astype(io_dtype)
+    ktp = jnp.swapaxes(_pad_to(k, U2p, 2).astype(io_dtype), 2, 3)
     mtable = make_rowbias_table(biases, W8)
     scal = jnp.asarray([clip_val, pos_w, agg_w, agg_b], jnp.float32)
 
@@ -409,7 +412,7 @@ def fused_agg_corr_mt(q, k, biases, grid_hw, clip_val, pos_w, agg_w, agg_b,
         in_specs=[
             pl.BlockSpec((1, M, tq, md), lambda b, i, j: (b, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, tk, md), lambda b, i, j: (b, 0, j, 0),
+            pl.BlockSpec((1, M, md, tk), lambda b, i, j: (b, 0, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * R + 1, W8, W8), lambda b, i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -419,9 +422,214 @@ def fused_agg_corr_mt(q, k, biases, grid_hw, clip_val, pos_w, agg_w, agg_b,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, U1p, U2p), jnp.float32),
         interpret=interpret,
-    )(qp, kp, mtable, scal)
+    )(qp, ktp, mtable, scal)
     out = out[:, :U1, :U2]
     return out if batched else out[0]
+
+
+# ---------------------------------------------------------------------------
+# Kernel 2a': fused correlation + conditional clamp + global layer-norm
+# ---------------------------------------------------------------------------
+#
+# The inference inter-frame path previously cost four full passes over the
+# ~800 MB/sample volume: kernel write (fp32), norm-stats read, normalize
+# read+write, bf16 cast for the pyramid — plus a separate gmax kernel for the
+# conditional-clamp predicate.  Here two sweeps over tiles recompute the
+# cheap QK^T scores (25 GFLOP/sample vs GBs of HBM) and the only volume-sized
+# traffic left is ONE bf16 write of the normalized pyramid base:
+#   kernel 1 (stats):  ph0 accumulates the raw-score global max (the clamp
+#     predicate, reference setrans.py:527-529), ph1 re-computes the clamped
+#     aggregated volume and accumulates sum / sum-of-squares
+#     (reference corr.py:27-30, 200-204 global layer-norm).
+#   kernel 2 (write):  normalizes each tile with the [B, 4] stats and writes
+#     the pyramid level-0 directly in the lookup layout/dtype.
+# Requires tile sizes that divide (U1, U2) exactly (no padded slice copy):
+# satisfied when W8 % 128 == 0 — Sintel/video widths; other shapes fall back
+# to the unfused path.
+
+def _corr_stats_kernel(q_ref, kt_ref, m_ref, scal_ref, out_ref, acc_ref, *,
+                       scale, num_modes, rq, rk, w8, R, n_elems):
+    ph = pl.program_id(1)
+    it = pl.program_id(2)
+    kt = pl.program_id(3)
+    ni = pl.num_programs(2)
+    nj = pl.num_programs(3)
+
+    @pl.when((ph == 0) & (it == 0) & (kt == 0))
+    def _():
+        acc_ref[0, 0] = NEG_INF  # raw-score max
+        acc_ref[0, 1] = 0.0      # sum
+        acc_ref[0, 2] = 0.0      # sum of squares
+
+    cs = []
+    for mode in range(num_modes):
+        c = jax.lax.dot_general(
+            q_ref[0, mode], kt_ref[0, mode],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        cs.append(c)
+
+    @pl.when(ph == 0)
+    def _():
+        m = cs[0]
+        for c in cs[1:]:
+            m = jnp.maximum(m, c)
+        acc_ref[0, 0] = jnp.maximum(acc_ref[0, 0], jnp.max(m))
+
+    @pl.when(ph == 1)
+    def _():
+        attn_clip = scal_ref[0]
+        pos_w = scal_ref[1]
+        agg_w = scal_ref[2]
+        agg_b = scal_ref[3]
+        gmax = acc_ref[0, 0]
+        clip_val = jnp.where(gmax > attn_clip, attn_clip, 1e30)
+        bias = pos_w * _bias_tile_from_mtable(m_ref, it * rq, kt * rk, rq,
+                                              rk, w8, R)
+        vol = _agg_modes(cs, clip_val, bias, agg_w, agg_b)
+        acc_ref[0, 1] += jnp.sum(vol)
+        acc_ref[0, 2] += jnp.sum(vol * vol)
+
+        @pl.when((it == ni - 1) & (kt == nj - 1))
+        def _():
+            out_ref[0, 0, 0] = acc_ref[0, 0]
+            out_ref[0, 0, 1] = acc_ref[0, 1] / n_elems       # mean
+            out_ref[0, 0, 2] = acc_ref[0, 2] / n_elems       # E[x^2]
+            out_ref[0, 0, 3] = 0.0
+
+
+def _agg_modes(cs, clip_val, bias, agg_w, agg_b):
+    """LearnedSoftAggregate over clamped+biased per-mode scores (same math
+    as _agg_corr_kernel)."""
+    ss = [jnp.clip(c, -clip_val, clip_val) + bias for c in cs]
+    logits = [agg_w * s + agg_b for s in ss]
+    mmax = logits[0]
+    for lg in logits[1:]:
+        mmax = jnp.maximum(mmax, lg)
+    exps = [jnp.exp(lg - mmax) for lg in logits]
+    denom = exps[0]
+    for e in exps[1:]:
+        denom = denom + e
+    acc = exps[0] * ss[0]
+    for e, s in zip(exps[1:], ss[1:]):
+        acc = acc + e * s
+    return acc / denom
+
+
+def _corr_norm_write_kernel(q_ref, kt_ref, m_ref, scal_ref, stats_ref,
+                            out_ref, *, scale, num_modes, rq, rk, w8, R,
+                            eps):
+    it = pl.program_id(1)
+    kt = pl.program_id(2)
+    attn_clip = scal_ref[0]
+    pos_w = scal_ref[1]
+    agg_w = scal_ref[2]
+    agg_b = scal_ref[3]
+    gmax = stats_ref[0, 0, 0]
+    mean = stats_ref[0, 0, 1]
+    var = jnp.maximum(stats_ref[0, 0, 2] - mean * mean, 0.0)
+    clip_val = jnp.where(gmax > attn_clip, attn_clip, 1e30)
+
+    cs = []
+    for mode in range(num_modes):
+        c = jax.lax.dot_general(
+            q_ref[0, mode], kt_ref[0, mode],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        cs.append(c)
+    bias = pos_w * _bias_tile_from_mtable(m_ref, it * rq, kt * rk, rq, rk,
+                                          w8, R)
+    vol = _agg_modes(cs, clip_val, bias, agg_w, agg_b)
+    out_ref[0] = ((vol - mean) * jax.lax.rsqrt(var + eps)).astype(
+        out_ref.dtype)
+
+
+def _fused_norm_tiles(H8: int, W8: int):
+    """Largest (rq, rk) divisors of H8 with Mosaic (8, 128) alignment and a
+    VMEM budget of ~12 live f32 tile buffers (the _agg_modes chain); None
+    when no exact tiling exists (caller falls back to the unfused path)."""
+    if W8 % 128 != 0:
+        return None
+    divs = [d for d in range(1, H8 + 1) if H8 % d == 0]
+    rk = max((d for d in divs if d * W8 <= 512 and (d * W8) % 128 == 0),
+             default=None)
+    if rk is None:
+        return None
+    tq_cap = min(768, 175_000 // (rk * W8))
+    rq = max((d for d in divs if d * W8 <= tq_cap and (d * W8) % 8 == 0),
+             default=None)
+    if rq is None:
+        return None
+    return rq, rk
+
+
+def fused_agg_corr_norm_mt(q, k, biases, grid_hw, attn_clip, pos_w, agg_w,
+                           agg_b, out_dtype=jnp.bfloat16, eps: float = 1e-12,
+                           interpret=False, io_dtype=jnp.float32):
+    """Inter-frame correlation volume, conditionally clamped and globally
+    layer-normed, in two QK^T sweeps and one bf16 volume write.
+
+    q, k: [B, M, U, md]; returns (vol_norm [B, U1, U2] out_dtype,
+    stats [B, 1, 4] fp32 (gmax, mean, E[x^2], 0)).  Caller must ensure
+    _fused_norm_tiles(grid_hw) is not None."""
+    assert q.ndim == 4
+    B, M, U1, md = q.shape
+    H8, W8 = grid_hw
+    U2 = k.shape[2]
+    assert U1 == H8 * W8 and U2 == U1
+    R = (biases.shape[0] - 1) // 2
+    scale = 1.0 / (md ** 0.5)
+    rq, rk = _fused_norm_tiles(H8, W8)
+    tq, tk = rq * W8, rk * W8
+    ni, nj = U1 // tq, U2 // tk
+
+    qp = q.astype(io_dtype)
+    ktp = jnp.swapaxes(k.astype(io_dtype), 2, 3)
+    mtable = make_rowbias_table(biases, W8)
+    scal = jnp.asarray([attn_clip, pos_w, agg_w, agg_b], jnp.float32)
+
+    stats = pl.pallas_call(
+        functools.partial(_corr_stats_kernel, scale=scale, num_modes=M,
+                          rq=rq, rk=rk, w8=W8, R=R,
+                          n_elems=float(U1) * float(U2)),
+        grid=(B, 2, ni, nj),
+        in_specs=[
+            pl.BlockSpec((1, M, tq, md), lambda b, p, i, j: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, md, tk), lambda b, p, i, j: (b, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * R + 1, W8, W8), lambda b, p, i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 4), lambda b, p, i, j: (b, 0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1, 4), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((1, 4), jnp.float32)],
+        interpret=interpret,
+    )(qp, ktp, mtable, scal)
+
+    vol = pl.pallas_call(
+        functools.partial(_corr_norm_write_kernel, scale=scale, num_modes=M,
+                          rq=rq, rk=rk, w8=W8, R=R, eps=eps),
+        grid=(B, ni, nj),
+        in_specs=[
+            pl.BlockSpec((1, M, tq, md), lambda b, i, j: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, md, tk), lambda b, i, j: (b, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * R + 1, W8, W8), lambda b, i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 4), lambda b, i, j: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, tk), lambda b, i, j: (b, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, U1, U2), out_dtype),
+        interpret=interpret,
+    )(qp, ktp, mtable, scal, stats)
+    return vol, stats
 
 
 # ---------------------------------------------------------------------------
@@ -434,7 +642,7 @@ def fused_agg_corr_mt(q, k, biases, grid_hw, clip_val, pos_w, agg_w, agg_b,
 # stats phase (no writes), then writes normalized probs directly in the output
 # dtype — the [M, U, U] fp32 scores never exist.
 
-def _probs_kernel_mt(q_ref, k_ref, m_ref, clip_ref, out_ref, mx_ref, l_ref,
+def _probs_kernel_mt(q_ref, kt_ref, m_ref, clip_ref, out_ref, mx_ref, l_ref,
                      *, scale, pos_w, nkv, rq, rk, w8, R, u2_valid):
     it = pl.program_id(1)
     ph = pl.program_id(2)
@@ -447,7 +655,7 @@ def _probs_kernel_mt(q_ref, k_ref, m_ref, clip_ref, out_ref, mx_ref, l_ref,
 
     clip_val = clip_ref[0]
     s = jax.lax.dot_general(
-        q_ref[0], k_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        q_ref[0], kt_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
     s = jnp.clip(s, -clip_val, clip_val)
     s = s + pos_w * _bias_tile_from_mtable(m_ref, it * rq, kt * rk, rq, rk,
@@ -487,7 +695,7 @@ def mode_softmax_probs_mt(q, k, biases, grid_hw, clip_val, pos_w,
     U1p = ((U1 + tq - 1) // tq) * tq
     U2p = ((U2 + tk - 1) // tk) * tk
     qp = _pad_to(q, U1p, 1).astype(io_dtype)
-    kp = _pad_to(k, U2p, 1).astype(io_dtype)
+    ktp = jnp.swapaxes(_pad_to(k, U2p, 1).astype(io_dtype), 1, 2)
     mtable = make_rowbias_table(biases, W8)
 
     nkv = U2p // tk
@@ -499,7 +707,7 @@ def mode_softmax_probs_mt(q, k, biases, grid_hw, clip_val, pos_w,
         in_specs=[
             pl.BlockSpec((1, tq, md), lambda m, i, p, j: (m, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk, md), lambda m, i, p, j: (m, j, 0),
+            pl.BlockSpec((1, md, tk), lambda m, i, p, j: (m, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * R + 1, W8, W8), lambda m, i, p, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -513,7 +721,7 @@ def mode_softmax_probs_mt(q, k, biases, grid_hw, clip_val, pos_w,
             pltpu.VMEM((tq, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(qp, kp, mtable, jnp.asarray([clip_val], jnp.float32))
+    )(qp, ktp, mtable, jnp.asarray([clip_val], jnp.float32))
     out = out[:, :U1, :U2]
     return out.reshape(bm + out.shape[1:]) if bm else out
 
@@ -522,9 +730,10 @@ def mode_softmax_probs_mt(q, k, biases, grid_hw, clip_val, pos_w,
 # Kernel 3: fused attentional-correlation volume
 # ---------------------------------------------------------------------------
 
-def _agg_corr_kernel(q_ref, k_ref, bias_ref, scal_ref, out_ref, *, scale,
+def _agg_corr_kernel(q_ref, kt_ref, bias_ref, scal_ref, out_ref, *, scale,
                      num_modes):
-    # Grid: (batch, q_tiles, k_tiles); q_ref/k_ref are [1, M, T, md].
+    # Grid: (batch, q_tiles, k_tiles); q_ref [1, M, TQ, md],
+    # kt_ref [1, M, md, TK] (pre-transposed).
     # scal_ref: [4] = (clip_val, pos_w, agg_w, agg_b)
     clip_val = scal_ref[0]
     pos_w = scal_ref[1]
@@ -537,8 +746,8 @@ def _agg_corr_kernel(q_ref, k_ref, bias_ref, scal_ref, out_ref, *, scale,
     ss = []
     for mode in range(num_modes):
         s = jax.lax.dot_general(
-            q_ref[0, mode], k_ref[0, mode],
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            q_ref[0, mode], kt_ref[0, mode],
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         s = jnp.clip(s, -clip_val, clip_val) + bias
         ss.append(s)
@@ -578,7 +787,7 @@ def fused_agg_corr(q, k, bias, clip_val, pos_w, agg_w, agg_b,
     U1p = ((U1 + tq - 1) // tq) * tq
     U2p = ((U2 + tk - 1) // tk) * tk
     qp = _pad_to(q, U1p, 2).astype(io_dtype)
-    kp = _pad_to(k, U2p, 2).astype(io_dtype)
+    ktp = jnp.swapaxes(_pad_to(k, U2p, 2).astype(io_dtype), 2, 3)
     if bias is None:
         bias = jnp.zeros((U1, U2), jnp.float32)
     biasp = _pad_to(_pad_to(bias.astype(jnp.float32), U2p, 1), U1p, 0)
@@ -591,7 +800,7 @@ def fused_agg_corr(q, k, bias, clip_val, pos_w, agg_w, agg_b,
         in_specs=[
             pl.BlockSpec((1, M, tq, md), lambda b, i, j: (b, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, tk, md), lambda b, i, j: (b, 0, j, 0),
+            pl.BlockSpec((1, M, md, tk), lambda b, i, j: (b, 0, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tq, tk), lambda b, i, j: (i, j),
                          memory_space=pltpu.VMEM),
@@ -601,6 +810,6 @@ def fused_agg_corr(q, k, bias, clip_val, pos_w, agg_w, agg_b,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, U1p, U2p), jnp.float32),
         interpret=interpret,
-    )(qp, kp, biasp, scal)
+    )(qp, ktp, biasp, scal)
     out = out[:, :U1, :U2]
     return out if batched else out[0]

@@ -211,3 +211,40 @@ def test_lazy_intra_attention_matches_materialized(rng):
     out_lazy = mod.apply(variables, jnp.asarray(motion), lazy)
     np.testing.assert_allclose(np.asarray(out_lazy), np.asarray(out_mat),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_fused_agg_corr_norm_matches_unfused(rng):
+    """Two-sweep fused clamp+norm kernel == fused_agg_corr_mt followed by
+    global layer-norm (per batch element)."""
+    import jax.numpy as jnp
+    from craft_tpu.ops.corr import global_layer_norm
+    from craft_tpu.ops.pallas.mode_attention import (_fused_norm_tiles,
+                                                     fused_agg_corr_mt,
+                                                     fused_agg_corr_norm_mt)
+
+    B, M, H8, W8, md = 2, 2, 6, 128, 16
+    U = H8 * W8
+    assert _fused_norm_tiles(H8, W8) is not None
+    q = rng.randn(B, M, U, md).astype(np.float32) * 0.5
+    k = rng.randn(B, M, U, md).astype(np.float32) * 0.5
+    biases = (rng.randn(15, 15) * 0.1).astype(np.float32)
+
+    for attn_clip in (100.0, 0.5):  # clamp predicate off / on
+        got, stats = fused_agg_corr_norm_mt(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(biases), (H8, W8),
+            attn_clip, 0.5, 1.2, 0.1, out_dtype=jnp.float32, interpret=True)
+
+        gmax = float(np.max(np.einsum("bmid,bmjd->bmij", q, k)
+                            / np.sqrt(md)))
+        clip_val = attn_clip if gmax > attn_clip else 1e30
+        raw = fused_agg_corr_mt(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(biases), (H8, W8),
+            clip_val, 0.5, 1.2, 0.1, interpret=True)
+        want = np.asarray(global_layer_norm(
+            jnp.asarray(raw).reshape(B, 1, U * U)).reshape(B, U, U))
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-4,
+                                   rtol=1e-3)
+        np.testing.assert_allclose(float(np.asarray(stats)[0, 0, 0]),
+                                   float(np.max(
+                                       np.einsum("mid,mjd->mij", q[0], k[0])
+                                       / np.sqrt(md))), atol=1e-4)

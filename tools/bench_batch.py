@@ -20,7 +20,7 @@ variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)),
 def forward(v, a, b):
     return model.apply(v, a, b, iters=12)[1][-1]
 
-for B in (2, 4):
+for B in (2, 4, 8):
     img = rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)
     p = InputPadder(img.shape, mode="sintel")
     a, b = p.pad(jnp.asarray(img), jnp.asarray(img[::-1].copy()))
