@@ -88,7 +88,7 @@ class TransCorr(nn.Module):
                                        fused_dt=fused_norm_dtype)
             if normalized:
                 return corr, True  # [B, U1, U2], pre-normalized
-            corr = corr  # raw [B, 1, U1, U2] (kernel conditions not met)
+            # else: raw [B, 1, U1, U2] (kernel conditions not met)
         else:
             corr = one_way(vispos1, vispos2)  # [B, 1, U1, U2]
 

@@ -43,7 +43,7 @@ def timeit(name, B, fn, *args, n=6):
     return out
 
 
-for B in (1, 4):
+for B in (4,):
     img = jnp.asarray(rng.uniform(-1, 1, (2 * B, H, W, 3)).astype(np.float32))
     fnet = BasicEncoder(output_dim=256, norm_fn="instance", dtype=cdt,
                         train=False)
@@ -67,7 +67,10 @@ for B in (1, 4):
     tcv = tc.init(key, fmap[:1], fmap[:1])
 
     def corr_fn(v, a, b):
-        vol = tc.apply(v, a, b)
+        from craft_tpu.ops.corr import pyramid_from_level0
+        vol, prenormed = tc.apply(v, a, b, fused_norm_dtype=jnp.bfloat16)
+        if prenormed:
+            return pyramid_from_level0(vol, B, H8, W8, 4, 4).levels
         return build_pyramid(vol, B, H8, W8, 4, 4, do_global_norm=True).levels
 
     levels = timeit("inter corr + pyramid", B, jax.jit(corr_fn), tcv, fmap,
