@@ -48,9 +48,10 @@ class TransCorr(nn.Module):
     @nn.compact
     def __call__(self, fmap1, fmap2, fmap1o=None, fmap2o=None,
                  deterministic: bool = True, fused_norm_dtype=None):
-        """Returns ([B, U1, D, U2] fp32 raw scores, False) — or, when the
-        fused clamp+norm kernel applies ([B, U1, U2] in fused_norm_dtype,
-        True): already globally layer-normed, ready to be the pyramid base."""
+        """Returns [B, U1, D, U2] fp32 raw scores — or, when the caller
+        granted fused_norm_dtype (see setrans.fused_norm_available), the
+        [B, U1, U2] globally layer-normed volume in that dtype, ready to be
+        the pyramid base."""
         B, H, W, C = fmap1.shape
         enc = InputFeatEncoder(self.cfg.inter, dtype=self.dtype,
                                name="vispos_encoder")
@@ -64,9 +65,7 @@ class TransCorr(nn.Module):
 
         # Two-way (D=2) only when BOTH original maps are provided (f1trans
         # active); f2trans alone still correlates one-way (network.py:214).
-        one_way_ok = fmap1o is None or fmap2o is None  # D == 1
-        want_fused = (fused_norm_dtype is not None and one_way_ok
-                      and not self.is_mutable_collection("intermediates"))
+        two_way = fmap1o is not None and fmap2o is not None
 
         def one_way(v1, v2, fused_dt=None):
             # [B, 1, U1, U2] mode-aggregated raw scores (or the fused
@@ -75,7 +74,7 @@ class TransCorr(nn.Module):
                            deterministic=deterministic,
                            fused_norm_dtype=fused_dt)
 
-        if not one_way_ok:
+        if two_way:
             vispos1o = enc(fmap1o, deterministic=deterministic,
                            return_pos_biases=False)
             vispos2o = enc(fmap2o, deterministic=deterministic,
@@ -83,12 +82,9 @@ class TransCorr(nn.Module):
             corr = jnp.concatenate(
                 [one_way(vispos1, vispos2o), one_way(vispos1o, vispos2)],
                 axis=1)  # [B, 2, U1, U2]
-        elif want_fused:
-            corr, normalized = one_way(vispos1, vispos2,
-                                       fused_dt=fused_norm_dtype)
-            if normalized:
-                return corr, True  # [B, U1, U2], pre-normalized
-            # else: raw [B, 1, U1, U2] (kernel conditions not met)
+        elif fused_norm_dtype is not None:
+            # [B, U1, U2], pre-normalized (caller checked availability).
+            return one_way(vispos1, vispos2, fused_dt=fused_norm_dtype)
         else:
             corr = one_way(vispos1, vispos2)  # [B, 1, U1, U2]
 
@@ -96,7 +92,7 @@ class TransCorr(nn.Module):
         # captured via apply(..., mutable=['intermediates']).
         self.sow("intermediates", "corr_volume", corr)
         # -> [B, U1, D, U2] fp32 for pyramid building.
-        return corr.transpose(0, 2, 1, 3).astype(jnp.float32), False
+        return corr.transpose(0, 2, 1, 3).astype(jnp.float32)
 
 
 class FlowModel(nn.Module):
@@ -141,7 +137,7 @@ class FlowModel(nn.Module):
         # (arg 0 is the module itself).
         SAVPT = nn.remat(SelfAttVisPosTrans, static_argnums=(2,)) \
             if self.train else SelfAttVisPosTrans
-        TC = nn.remat(TransCorr, static_argnums=(5, 6)) if self.train \
+        TC = nn.remat(TransCorr, static_argnums=(5,)) if self.train \
             else TransCorr
 
         fmap1o = fmap2o = None
@@ -199,11 +195,21 @@ class FlowModel(nn.Module):
             # the pyramid base (VERDICT r1 #8; measured 2.2x at batch 4,
             # where the unfused fp32 volumes thrash HBM).  Single-pair
             # latency, training, and --fullprec keep the unfused path
-            # (autodiff via corr_vjp; two-stage exact stats).
-            fused_dt = lvl_dtype if (deterministic and B > 1
-                                     and cfg.mixed_precision) else None
-            vol, prenormed = TC(cfg, dtype=cdt, name="corr_fn")(
-                fmap1, fmap2, fmap1o, fmap2o, deterministic, fused_dt)
+            # (autodiff via corr_vjp; two-stage exact stats).  The decision
+            # is static here so the remat'd TransCorr has one output shape.
+            from craft_tpu.nn.setrans import fused_norm_available
+            prenormed = (deterministic and B > 1 and cfg.mixed_precision
+                         and not (cfg.f1trans != "none"
+                                  and cfg.arch == "craft")
+                         and not self.is_mutable_collection("intermediates")
+                         and fused_norm_available(cfg.inter, H8, W8,
+                                                  deterministic))
+            tc_mod = TC(cfg, dtype=cdt, name="corr_fn")
+            if prenormed:  # inference only — TC is not remat'd here
+                vol = tc_mod(fmap1, fmap2, fmap1o, fmap2o, deterministic,
+                             lvl_dtype)
+            else:
+                vol = tc_mod(fmap1, fmap2, fmap1o, fmap2o, deterministic)
             if prenormed:
                 pyramid = pyramid_from_level0(vol, B, H8, W8,
                                               cfg.corr_levels,

@@ -45,6 +45,23 @@ def _as_dense_bias(pos_biases):
     return pos_biases
 
 
+def fused_norm_available(cfg: "SETransSiteConfig", H8: int, W8: int,
+                         deterministic: bool) -> bool:
+    """Statically decide whether a scores-only site will take the fused
+    clamp+norm kernel for a (H8, W8) grid — callers gate on this so the
+    fused request never has to change output shape mid-trace (and no flag
+    has to round-trip through nn.remat)."""
+    from craft_tpu.ops.pallas.mode_attention import _fused_norm_tiles
+    if not (deterministic and cfg.out_attn_scores_only
+            and cfg.num_modes > 1 and cfg.pos_code_type == "bias"):
+        return False
+    if cfg.use_pallas == "off":
+        return False
+    if cfg.use_pallas != "on" and jax.default_backend() != "tpu":
+        return False
+    return _fused_norm_tiles(H8, W8) is not None
+
+
 @jax.tree_util.register_pytree_node_class
 class LazyModeAttention:
     """Intra-frame attention held as (q, k, bias window) instead of a
@@ -287,10 +304,11 @@ class CrossAttFeatTrans(nn.Module):
     def __call__(self, query_feat, key_feat=None, pos_biases=None,
                  attention_mask=None, deterministic: bool = True,
                  fused_norm_dtype=None):
-        """fused_norm_dtype (scores-only sites): request the fused
-        clamp+aggregate+global-layer-norm kernel; the return becomes a
-        (volume, normalized: bool) pair — ([B, U1, U2] in that dtype when
-        normalized, else the raw [B, 1, U1, U2] scores)."""
+        """fused_norm_dtype (scores-only sites): run the fused
+        clamp+aggregate+global-layer-norm kernel and return the normalized
+        [B, U1, U2] volume in that dtype instead of raw scores.  The caller
+        must have checked ``fused_norm_available`` — conditions are asserted,
+        not silently degraded (the output shape/semantics differ)."""
         cfg = self.cfg
         if key_feat is None:
             key_feat = query_feat
@@ -351,18 +369,19 @@ class CrossAttFeatTrans(nn.Module):
                                        name="attn_softaggr")
             agg_w, agg_b = agg.scalar_wb()
             iodt = self.dtype  # bf16 matmul inputs under mixed precision
-            if (fused_norm_dtype is not None and deterministic and structured
-                    and _fused_norm_tiles(pos_biases.H, pos_biases.W)
-                    is not None):
+            if fused_norm_dtype is not None:
                 # One fused pass: conditional clamp (predicate in-kernel) +
                 # soft-aggregation + global layer-norm; the only volume-sized
                 # HBM traffic is the normalized level-0 write.
+                assert deterministic and structured and _fused_norm_tiles(
+                    pos_biases.H, pos_biases.W) is not None, \
+                    "caller must gate on fused_norm_available()"
                 vol, _ = fused_agg_corr_norm_mt(
                     q, k, pos_biases.biases, (pos_biases.H, pos_biases.W),
                     cfg.attn_clip, cfg.pos_code_weight, agg_w, agg_b,
                     out_dtype=fused_norm_dtype, interpret=interp,
                     io_dtype=iodt)
-                return vol, True  # [B, U1, U2] normalized
+                return vol  # [B, U1, U2] normalized
             # Batched kernels: B rides the Pallas grid, no per-sample vmap.
             gmax = jax.lax.stop_gradient(scores_global_max(
                 jax.lax.stop_gradient(q), jax.lax.stop_gradient(k),
@@ -380,8 +399,7 @@ class CrossAttFeatTrans(nn.Module):
                 vol = fused_agg_corr(
                     q, k, bias2d, clip_val, cfg.pos_code_weight, agg_w,
                     agg_b, interpret=interp, io_dtype=iodt)
-            out = vol[:, None]  # [B, 1, U1, U2]
-            return (out, False) if fused_norm_dtype is not None else out
+            return vol[:, None]  # [B, 1, U1, U2]
 
         if (use_pallas and not cfg.out_attn_only and not cfg.has_FFN
                 and not cfg.ablate_multihead):
@@ -443,7 +461,7 @@ class CrossAttFeatTrans(nn.Module):
             if M > 1:
                 scores = LearnedSoftAggregate(1, keepdim=True, dtype=jnp.float32,
                                               name="attn_softaggr")(scores)
-            return (scores, False) if fused_norm_dtype is not None else scores
+            return scores
 
         if (use_pallas and cfg.out_attn_probs_only and structured
                 and not self.is_mutable_collection("intermediates")):

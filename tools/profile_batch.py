@@ -67,10 +67,12 @@ for B in (4,):
     tcv = tc.init(key, fmap[:1], fmap[:1])
 
     def corr_fn(v, a, b):
+        from craft_tpu.nn.setrans import fused_norm_available
         from craft_tpu.ops.corr import pyramid_from_level0
-        vol, prenormed = tc.apply(v, a, b, fused_norm_dtype=jnp.bfloat16)
-        if prenormed:
+        if fused_norm_available(cfg.inter, H8, W8, True):
+            vol = tc.apply(v, a, b, fused_norm_dtype=jnp.bfloat16)
             return pyramid_from_level0(vol, B, H8, W8, 4, 4).levels
+        vol = tc.apply(v, a, b)
         return build_pyramid(vol, B, H8, W8, 4, 4, do_global_norm=True).levels
 
     levels = timeit("inter corr + pyramid", B, jax.jit(corr_fn), tcv, fmap,

@@ -67,7 +67,7 @@ attention = timeit("intra attention", intra_fn, iv, inp)
 tc = TransCorr(cfg, dtype=cdt)
 tcv = tc.init(key, fmap, fmap)
 def corr_fn(v, a, b):
-    vol, _ = tc.apply(v, a, b)
+    vol = tc.apply(v, a, b)
     pyr = build_pyramid(vol, 1, H8, W8, 4, 4, do_global_norm=True)
     return pyr.levels
 timeit("inter corr + pyramid", jax.jit(corr_fn), tcv, fmap, fmap)
