@@ -49,13 +49,72 @@ class ConvGRU(nn.Module):
 
 class SepConvGRU(nn.Module):
     """Separable ConvGRU: horizontal (1x5) then vertical (5x1) gated update
-    (reference update.py:37-64)."""
+    (reference update.py:37-64).
+
+    fused='on' routes both passes through the fused Pallas kernels
+    (ops/pallas/sep_conv_gru.py): all three gate convs + the
+    sigmoid/tanh/update chain in one kernel per direction.  Measured on this
+    chip the fused path only TIES the XLA convs in isolation (65 vs 69 ms
+    for 12 fwd+bwd at the chairs config) and LOSES inside the refinement
+    scan (inference 17.9 vs 20.2 fps; train step 1.4 s vs 0.54 s) — an
+    in-scan Pallas custom call cannot overlap with neighboring compute the
+    way XLA's fused convs do, and the custom-VJP residuals bloat the scan.
+    Kept OFF by default as a tested alternative (same negative-result
+    pattern as the round-1 Pallas corr-lookup; see BENCH_NOTES.md).
+    Parameters and math are identical (same flax Conv submodules own the
+    weights)."""
 
     hidden_dim: int = 128
     dtype: Any = jnp.float32
+    fused: str = "off"  # 'off' (default) | 'on' | 'auto' (TPU only)
 
     @nn.compact
     def __call__(self, h, x):
+        import jax
+
+        from craft_tpu.ops.pallas.sep_conv_gru import (fused_gru_vmem_ok,
+                                                       gru_pass)
+
+        B, H, W, Ch = h.shape
+        Cx = x.shape[-1]
+        itemsize = jnp.dtype(self.dtype).itemsize
+        interp = jax.default_backend() != "tpu"
+        use_fused = (self.fused == "on"
+                     or (self.fused == "auto" and not interp))
+        fused = use_fused and fused_gru_vmem_ok(H * W, Ch, Cx, 1, itemsize)
+
+        if fused:
+            Cin = Ch + Cx
+
+            def run_pass(h4, x4, name, width):
+                # The vertical (5x1) pass runs on the transposed image, so
+                # both directions use the stride-1 kernel (a 4-image-row
+                # halo per tile would dwarf the tiles otherwise).
+                parts = []
+                for g in ("z", "r", "q"):
+                    conv = Conv(self.hidden_dim, (1, 5) if name == "h"
+                                else (5, 1), dtype=self.dtype,
+                                name=f"conv{g}_{name}")
+                    # Parameter-creating dummy call (dead code under jit);
+                    # the kernel consumes the same weights tap-split.
+                    conv(jnp.zeros((1, 1, 1, Cin), self.dtype))
+                    p = conv.variables["params"]["Conv_0"]
+                    taps = p["kernel"].reshape(5, Cin, self.hidden_dim)
+                    parts.append((taps[:, :Ch, :], taps[:, Ch:, :],
+                                  p["bias"]))
+                (wzh, wzx, bz), (wrh, wrx, br), (wqh, wqx, bq) = parts
+                rows = h4.shape[1] * h4.shape[2]
+                out = gru_pass(h4.reshape(B, rows, Ch),
+                               x4.reshape(B, rows, Cx),
+                               wzh, wzx, wrh, wrx, wqh, wqx, bz, br, bq,
+                               1, width, interp)
+                return out.reshape(h4.shape)
+
+            h = run_pass(h, x, "h", W)
+            ht = run_pass(h.transpose(0, 2, 1, 3),
+                          x.transpose(0, 2, 1, 3), "v", H)
+            return ht.transpose(0, 2, 1, 3)
+
         for name, kernel in (("h", (1, 5)), ("v", (5, 1))):
             hx = jnp.concatenate([h, x], axis=-1)
             z = nn.sigmoid(Conv(self.hidden_dim, kernel, dtype=self.dtype,
