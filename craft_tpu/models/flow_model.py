@@ -190,15 +190,16 @@ class FlowModel(nn.Module):
         # traffic) ---
         lvl_dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
         if cfg.craft:
-            # Batched inference + bf16 levels: request the fused clamp+norm
-            # kernel — the normalized volume is written once, directly as
-            # the pyramid base (VERDICT r1 #8; measured 2.2x at batch 4,
-            # where the unfused fp32 volumes thrash HBM).  Single-pair
-            # latency, training, and --fullprec keep the unfused path
-            # (autodiff via corr_vjp; two-stage exact stats).  The decision
-            # is static here so the remat'd TransCorr has one output shape.
+            # Inference + bf16 levels: request the fused clamp+norm kernel
+            # — the normalized volume is written once, directly as the
+            # pyramid base (VERDICT r1 #8; 2.2x the unfused component at
+            # batch 4 where fp32 volumes thrash HBM, and it removes the
+            # big-tensor relayout copies at batch 1).  Training and
+            # --fullprec keep the unfused path (autodiff via corr_vjp;
+            # two-stage exact stats).  The decision is static here so the
+            # remat'd TransCorr has one output shape.
             from craft_tpu.nn.setrans import fused_norm_available
-            prenormed = (deterministic and B > 1 and cfg.mixed_precision
+            prenormed = (deterministic and cfg.mixed_precision
                          and not (cfg.f1trans != "none"
                                   and cfg.arch == "craft")
                          and not self.is_mutable_collection("intermediates")
