@@ -101,9 +101,17 @@ def read_disp_kitti(path: str):
 
 
 def read_gen(file_name: str, pil: bool = False):
-    """Extension-dispatched generic reader (frame_utils.py:123-137)."""
+    """Extension-dispatched generic reader (frame_utils.py:123-137).
+
+    Image formats go through the native decode core (native/imgio) when it
+    is built — same pixels as PIL, no Python object layer, GIL released
+    during decode so loader threads scale."""
     ext = splitext(file_name)[-1]
     if ext in (".png", ".jpeg", ".ppm", ".jpg"):
+        if not pil:
+            from craft_tpu.data import imgio
+            if imgio.available():
+                return imgio.load(file_name)
         return Image.open(file_name)
     if ext in (".bin", ".raw"):
         return np.load(file_name)
