@@ -14,7 +14,7 @@ pytestmark = pytest.mark.skipif(not reference_available(),
                                 reason="torch reference not available")
 
 
-def _run_parity(arch, cfg, ref_kwargs=None, iters=3, tol=2e-2):
+def _run_parity(arch, cfg, ref_kwargs=None, iters=3, tol=1e-4):
     import torch
     import jax
     import jax.numpy as jnp
@@ -46,6 +46,7 @@ def _run_parity(arch, cfg, ref_kwargs=None, iters=3, tol=2e-2):
     ref_up = ref_up.numpy().transpose(0, 2, 3, 1)
     got = np.asarray(flows[-1])
     err = np.abs(got - ref_up).max()
+    print(f"{arch}: max |flow diff| = {err:.2e}")
     assert err < tol, f"{arch}: max |flow diff| = {err}"
     return err
 
@@ -99,4 +100,4 @@ def test_craft_nogma_parity():
         _, ref_up = ref(t1, t2, iters=3, test_mode=1)
     err = np.abs(np.asarray(flows[-1])
                  - ref_up.numpy().transpose(0, 2, 3, 1)).max()
-    assert err < 2e-2, f"nogma: max |flow diff| = {err}"
+    assert err < 1e-4, f"nogma: max |flow diff| = {err}"

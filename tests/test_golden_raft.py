@@ -1,7 +1,7 @@
 """Golden parity: RAFT forward vs the torch reference with converted weights.
 
 The gate for everything downstream (SURVEY.md §7 build order step 3): random
-torch weights -> convert -> identical flow field to < 1e-2 px max deviation.
+torch weights -> convert -> identical flow field to < 1e-4 px max deviation.
 """
 
 import numpy as np
@@ -49,8 +49,8 @@ def test_raft_forward_parity():
     ref_up = ref_up.numpy().transpose(0, 2, 3, 1)
     got = np.asarray(flows[-1])
     err = np.abs(got - ref_up).max()
-    assert err < 1e-2, f"max |flow diff| = {err}"
+    assert err < 1e-4, f"max |flow diff| = {err}"
 
     ref_low = ref_low.numpy().transpose(0, 2, 3, 1)
     err_low = np.abs(np.asarray(lowres) - ref_low).max()
-    assert err_low < 1e-2, f"max lowres diff = {err_low}"
+    assert err_low < 1e-4, f"max lowres diff = {err_low}"
