@@ -120,16 +120,25 @@ class ShardedLoader:
         self.epoch += 1
 
 
-def _mp_worker(dataset, batches, seed, result_q):
+def _mp_worker(dataset, batches, seed, result_q, ack_q, cap):
     """Worker-process loop: load + collate an assigned list of batches.
 
     Runs in a forked child; touches only numpy/PIL (never jax — the parent's
-    TPU client must not be exercised post-fork)."""
+    TPU client must not be exercised post-fork).  At most ``cap`` produced
+    batches may be un-emitted at once (the consumer acks each emission via
+    ``ack_q``) — torch DataLoader's per-worker outstanding-task cap — so a
+    slow worker gating in-order emission cannot cause fast workers to pile
+    their whole epoch share into host memory."""
     try:
         np.random.seed(seed % (2 ** 31))
         _random.seed(seed)
+        outstanding = 0
         for bi, b in batches:
+            while outstanding >= cap:
+                ack_q.get()
+                outstanding -= 1
             result_q.put((bi, _collate([dataset[int(i)] for i in b])))
+            outstanding += 1
     except KeyboardInterrupt:
         pass
     finally:
@@ -174,12 +183,17 @@ class MultiprocessLoader:
                    for bi in range(nb)]
         nw = min(self.num_workers, max(1, nb))
         result_q = self._ctx.Queue(maxsize=self.prefetch + nw)
+        # Per-worker ack queues implement the outstanding-batch cap: worker
+        # wid owns batches wid::nw, so buffered memory is bounded by
+        # nw * prefetch batches even when one worker is slow.
+        ack_qs = [self._ctx.Queue() for _ in range(nw)]
         procs = []
         for wid in range(nw):
             p = self._ctx.Process(
                 target=_mp_worker,
                 args=(self.dataset, batches[wid::nw],
-                      self.seed + self.epoch * 1000 + wid, result_q),
+                      self.seed + self.epoch * 1000 + wid, result_q,
+                      ack_qs[wid], max(1, self.prefetch)),
                 daemon=True)
             p.start()
             procs.append(p)
@@ -197,6 +211,7 @@ class MultiprocessLoader:
                         continue
                     buffered[bi] = batch
                 yield buffered.pop(next_emit)
+                ack_qs[next_emit % nw].put(None)
                 next_emit += 1
         finally:
             for p in procs:
@@ -205,6 +220,8 @@ class MultiprocessLoader:
             for p in procs:
                 p.join(timeout=5)
             result_q.close()
+            for q in ack_qs:
+                q.close()
         self.epoch += 1
 
 

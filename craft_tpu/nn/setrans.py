@@ -45,21 +45,43 @@ def _as_dense_bias(pos_biases):
     return pos_biases
 
 
+def _pallas_allowed(cfg: "SETransSiteConfig", attention_mask) -> bool:
+    """Single source of truth for whether a site may use Pallas kernels
+    (shared by CrossAttFeatTrans branch selection and the module-level
+    availability probes, so the two can never drift — ADVICE r2)."""
+    mode = cfg.use_pallas
+    if mode == "off" or attention_mask is not None:
+        return False
+    return mode == "on" or jax.default_backend() == "tpu"
+
+
+def _fused_norm_conditions(cfg: "SETransSiteConfig", H8: int, W8: int,
+                           deterministic: bool, attention_mask=None):
+    """(name, ok) pairs for the fused clamp+aggregate+global-norm branch;
+    ALL must hold.  Used by both fused_norm_available() and the in-module
+    check in CrossAttFeatTrans, so the condition sets are one set."""
+    from craft_tpu.ops.pallas.mode_attention import _fused_norm_tiles
+    return [
+        ("deterministic (inference only)", deterministic),
+        ("out_attn_scores_only site", cfg.out_attn_scores_only),
+        ("multi-mode (num_modes > 1)", cfg.num_modes > 1),
+        ("sliding positional bias (pos_code_type='bias')",
+         cfg.pos_code_type == "bias"),
+        ("use_pallas enabled for this backend, no attention_mask",
+         _pallas_allowed(cfg, attention_mask)),
+        (f"divisor-exact Mosaic tiling for grid ({H8}, {W8})",
+         _fused_norm_tiles(H8, W8) is not None),
+    ]
+
+
 def fused_norm_available(cfg: "SETransSiteConfig", H8: int, W8: int,
                          deterministic: bool) -> bool:
     """Statically decide whether a scores-only site will take the fused
     clamp+norm kernel for a (H8, W8) grid — callers gate on this so the
     fused request never has to change output shape mid-trace (and no flag
     has to round-trip through nn.remat)."""
-    from craft_tpu.ops.pallas.mode_attention import _fused_norm_tiles
-    if not (deterministic and cfg.out_attn_scores_only
-            and cfg.num_modes > 1 and cfg.pos_code_type == "bias"):
-        return False
-    if cfg.use_pallas == "off":
-        return False
-    if cfg.use_pallas != "on" and jax.default_backend() != "tpu":
-        return False
-    return _fused_norm_tiles(H8, W8) is not None
+    return all(ok for _, ok in
+               _fused_norm_conditions(cfg, H8, W8, deterministic))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -363,8 +385,7 @@ class CrossAttFeatTrans(nn.Module):
                          and (deterministic or structured))
         if scores_pallas and cfg.out_attn_scores_only and M > 1:
             from craft_tpu.ops.pallas.mode_attention import (
-                _fused_norm_tiles, fused_agg_corr, fused_agg_corr_norm_mt,
-                scores_global_max)
+                fused_agg_corr, fused_agg_corr_norm_mt, scores_global_max)
             agg = LearnedSoftAggregate(1, keepdim=True, dtype=jnp.float32,
                                        name="attn_softaggr")
             agg_w, agg_b = agg.scalar_wb()
@@ -373,9 +394,18 @@ class CrossAttFeatTrans(nn.Module):
                 # One fused pass: conditional clamp (predicate in-kernel) +
                 # soft-aggregation + global layer-norm; the only volume-sized
                 # HBM traffic is the normalized level-0 write.
-                assert deterministic and structured and _fused_norm_tiles(
-                    pos_biases.H, pos_biases.W) is not None, \
-                    "caller must gate on fused_norm_available()"
+                conds = _fused_norm_conditions(
+                    cfg, pos_biases.H if structured else 0,
+                    pos_biases.W if structured else 0, deterministic,
+                    attention_mask)
+                conds.append(("structured SlidingBias pos_biases",
+                              structured))
+                bad = [name for name, ok in conds if not ok]
+                if bad:
+                    raise ValueError(
+                        "fused_norm_dtype was requested but the fused-branch "
+                        f"conditions failed: {'; '.join(bad)}. Callers must "
+                        "gate on fused_norm_available().")
                 vol, _ = fused_agg_corr_norm_mt(
                     q, k, pos_biases.biases, (pos_biases.H, pos_biases.W),
                     cfg.attn_clip, cfg.pos_code_weight, agg_w, agg_b,
@@ -524,10 +554,7 @@ class CrossAttFeatTrans(nn.Module):
             key_feat, probs, deterministic=deterministic)
 
     def _pallas_allowed(self, attention_mask) -> bool:
-        mode = self.cfg.use_pallas
-        if mode == "off" or attention_mask is not None:
-            return False
-        return mode == "on" or jax.default_backend() == "tpu"
+        return _pallas_allowed(self.cfg, attention_mask)
 
     def _pallas_enabled(self, deterministic: bool, attention_mask) -> bool:
         if not self._pallas_allowed(attention_mask):

@@ -449,17 +449,25 @@ def fused_agg_corr_mt(q, k, biases, grid_hw, clip_val, pos_w, agg_w, agg_b,
 
 def _corr_stats_kernel(q_ref, kt_ref, m_ref, scal_ref, out_ref, acc_ref, *,
                        scale, num_modes, rq, rk, w8, R, n_elems):
-    ph = pl.program_id(1)
+    # Grid is (phase, B, ni, nj): ALL samples' raw-max pass (ph 0) completes
+    # before any normalize pass (ph 1), so the clamp predicate is the
+    # batch-GLOBAL max — matching the reference (setrans.py:521-529) and
+    # this repo's unfused path (scores_global_max over the whole batch).
+    ph = pl.program_id(0)
+    b = pl.program_id(1)
     it = pl.program_id(2)
     kt = pl.program_id(3)
     ni = pl.num_programs(2)
     nj = pl.num_programs(3)
 
-    @pl.when((ph == 0) & (it == 0) & (kt == 0))
+    @pl.when((ph == 0) & (b == 0) & (it == 0) & (kt == 0))
     def _():
-        acc_ref[0, 0] = NEG_INF  # raw-score max
-        acc_ref[0, 1] = 0.0      # sum
-        acc_ref[0, 2] = 0.0      # sum of squares
+        acc_ref[0, 0] = NEG_INF  # raw-score max (shared across the batch)
+
+    @pl.when((ph == 1) & (it == 0) & (kt == 0))
+    def _():
+        acc_ref[0, 1] = 0.0      # per-sample sum
+        acc_ref[0, 2] = 0.0      # per-sample sum of squares
 
     cs = []
     for mode in range(num_modes):
@@ -594,17 +602,17 @@ def fused_agg_corr_norm_mt(q, k, biases, grid_hw, attn_clip, pos_w, agg_w,
         functools.partial(_corr_stats_kernel, scale=scale, num_modes=M,
                           rq=rq, rk=rk, w8=W8, R=R,
                           n_elems=float(U1) * float(U2)),
-        grid=(B, 2, ni, nj),
+        grid=(2, B, ni, nj),
         in_specs=[
-            pl.BlockSpec((1, M, tq, md), lambda b, p, i, j: (b, 0, i, 0),
+            pl.BlockSpec((1, M, tq, md), lambda p, b, i, j: (b, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, md, tk), lambda b, p, i, j: (b, 0, 0, j),
+            pl.BlockSpec((1, M, md, tk), lambda p, b, i, j: (b, 0, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * R + 1, W8, W8), lambda b, p, i, j: (0, 0, 0),
+            pl.BlockSpec((2 * R + 1, W8, W8), lambda p, b, i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 4), lambda b, p, i, j: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, 4), lambda p, b, i, j: (b, 0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((B, 1, 4), jnp.float32),
         scratch_shapes=[pltpu.SMEM((1, 4), jnp.float32)],

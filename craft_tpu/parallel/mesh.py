@@ -32,23 +32,55 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch pytree with the batch axis sharded."""
+    """Device-put a host batch pytree with the batch axis sharded.
+
+    Multi-process: each process passes its LOCAL batch (the per-process
+    loader shard, reference train_ddp per-rank batch semantics) and the
+    result is the GLOBAL array — global batch = local batch x process_count,
+    assembled via make_array_from_process_local_data."""
     s = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        def put(x):
+            global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+            return jax.make_array_from_process_local_data(s, np.asarray(x),
+                                                          global_shape)
+        return jax.tree.map(put, batch)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 
 def replicate_state(mesh: Mesh, state):
     r = replicated(mesh)
+    if jax.process_count() > 1:
+        # Params are identical on every process (same seed init or the same
+        # restored checkpoint); replicate across the global mesh.
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                r, np.asarray(x), np.shape(x)), state)
     return jax.tree.map(lambda x: jax.device_put(x, r), state)
 
 
 def initialize_distributed():
-    """Multi-host init (reference train_ddp.py:186-188 analog).
+    """Multi-host init (reference train_ddp.py:186-188 analog: env://
+    rendezvous via COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID).
 
     On a multi-host TPU slice, call before any jax op.  Safe no-op when
-    single-process.
+    single-process.  On CPU (the simulated-multi-host test path) the gloo
+    collectives backend is selected, the CPU analog of NCCL.
     """
     import os
-    if os.environ.get("COORDINATOR_ADDRESS") or int(
-            os.environ.get("NUM_PROCESSES", "1")) > 1:
-        jax.distributed.initialize()
+    coord = os.environ.get("COORDINATOR_ADDRESS")
+    nproc = int(os.environ.get("NUM_PROCESSES", "1"))
+    if not coord and nproc <= 1:
+        return
+    # Must be set before the first backend touch (so no jax.default_backend()
+    # probe here); only affects the CPU backend, harmless on TPU.
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
+    kwargs = {}
+    if coord:
+        kwargs = dict(coordinator_address=coord,
+                      num_processes=nproc,
+                      process_id=int(os.environ.get("PROCESS_ID", "0")))
+    jax.distributed.initialize(**kwargs)

@@ -63,8 +63,13 @@ bool decode_png(const unsigned char* buf, size_t len, Decoded* out,
     if (png) png_destroy_read_struct(&png, &info, nullptr);
     return false;
   }
+  // Declared BEFORE setjmp: a libpng error longjmps back here, and the
+  // error-path return then runs this destructor normally (declaring it
+  // after the setjmp point would skip it and leak the row-pointer array).
+  std::vector<png_bytep> rows;
   if (setjmp(png_jmpbuf(png))) {
     *err = "libpng decode error";
+    out->data.clear();  // don't leave a half-decoded buffer behind
     png_destroy_read_struct(&png, &info, nullptr);
     return false;
   }
@@ -77,10 +82,17 @@ bool decode_png(const unsigned char* buf, size_t len, Decoded* out,
   png_get_IHDR(png, info, &w, &h, &bit_depth, &color_type, nullptr, nullptr,
                nullptr);
 
-  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  // Palette images: return the raw indices (PIL parity —
+  // np.array(Image.open(p)) on a mode-'P' image yields [H, W] uint8
+  // indices, not expanded RGB).  Sub-byte packed indices are expanded to
+  // one byte per pixel, as PIL does.
+  if (color_type == PNG_COLOR_TYPE_PALETTE && bit_depth < 8)
+    png_set_packing(png);
   if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
     png_set_expand_gray_1_2_4_to_8(png);
-  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (color_type != PNG_COLOR_TYPE_PALETTE &&
+      png_get_valid(png, info, PNG_INFO_tRNS))
+    png_set_tRNS_to_alpha(png);
   if (bit_depth == 16) png_set_swap(png);  // PNG is big-endian on disk
   png_read_update_info(png, info);
 
@@ -88,7 +100,7 @@ bool decode_png(const unsigned char* buf, size_t len, Decoded* out,
   int bps = png_get_bit_depth(png, info) == 16 ? 2 : 1;
   size_t stride = static_cast<size_t>(w) * channels * bps;
   out->data.resize(stride * h);
-  std::vector<png_bytep> rows(h);
+  rows.resize(h);
   for (png_uint_32 r = 0; r < h; ++r)
     rows[r] = reinterpret_cast<png_bytep>(&out->data[r * stride]);
   png_read_image(png, rows.data());
@@ -229,8 +241,10 @@ PyObject* py_decode(PyObject*, PyObject* args) {
     PyErr_SetString(PyExc_ValueError, err.c_str());
     return nullptr;
   }
-  PyObject* data =
-      PyBytes_FromStringAndSize(dec.data.data(), (Py_ssize_t)dec.data.size());
+  // bytearray (not bytes): np.frombuffer over it yields a WRITABLE array,
+  // keeping the "same arrays as PIL" contract in the Python wrapper.
+  PyObject* data = PyByteArray_FromStringAndSize(dec.data.data(),
+                                                 (Py_ssize_t)dec.data.size());
   if (!data) return nullptr;
   return Py_BuildValue("(Nllli)", data, dec.h, dec.w, dec.channels,
                        dec.bytes_per_sample);
@@ -238,7 +252,7 @@ PyObject* py_decode(PyObject*, PyObject* args) {
 
 PyMethodDef methods[] = {
     {"decode", py_decode, METH_VARARGS,
-     "decode(bytes) -> (pixels: bytes, h, w, channels, bytes_per_sample)"},
+     "decode(bytes) -> (pixels: bytearray, h, w, channels, bytes_per_sample)"},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -61,6 +61,35 @@ def test_jpeg_parity(tmp_path, imgio_mod, rng):
                                   np.array(Image.open(p)))
 
 
+def test_png_palette_parity(tmp_path, imgio_mod, rng):
+    """Palette PNGs decode to raw indices, exactly like
+    np.array(PIL.Image.open) on a mode-'P' image (ADVICE r2)."""
+    img = rng.randint(0, 255, (21, 33, 3)).astype(np.uint8)
+    p = str(tmp_path / "pal.png")
+    Image.fromarray(img).convert("P", palette=Image.ADAPTIVE).save(p)
+    got = imgio_mod.load(p)
+    want = np.array(Image.open(p))
+    assert want.ndim == 2  # PIL yields indices for mode-P
+    np.testing.assert_array_equal(got, want)
+
+
+def test_png_rgba_parity(tmp_path, imgio_mod, rng):
+    img = rng.randint(0, 255, (15, 27, 4)).astype(np.uint8)
+    p = str(tmp_path / "rgba.png")
+    Image.fromarray(img, mode="RGBA").save(p)
+    np.testing.assert_array_equal(imgio_mod.load(p),
+                                  np.array(Image.open(p)))
+
+
+def test_load_returns_writable(tmp_path, imgio_mod, rng):
+    img = rng.randint(0, 255, (8, 8, 3)).astype(np.uint8)
+    p = str(tmp_path / "w.png")
+    Image.fromarray(img).save(p)
+    out = imgio_mod.load(p)
+    assert out.flags.writeable
+    out[0, 0, 0] = 7  # must not raise
+
+
 def test_read_gen_uses_native(tmp_path, imgio_mod, rng):
     from craft_tpu.data import frame_utils
 

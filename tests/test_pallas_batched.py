@@ -244,7 +244,47 @@ def test_fused_agg_corr_norm_matches_unfused(rng):
             jnp.asarray(raw).reshape(B, 1, U * U)).reshape(B, U, U))
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-4,
                                    rtol=1e-3)
-        np.testing.assert_allclose(float(np.asarray(stats)[0, 0, 0]),
-                                   float(np.max(
-                                       np.einsum("mid,mjd->mij", q[0], k[0])
-                                       / np.sqrt(md))), atol=1e-4)
+        # The clamp predicate is the batch-GLOBAL raw max (reference
+        # setrans.py:521-529), reported identically for every sample.
+        for b in range(B):
+            np.testing.assert_allclose(float(np.asarray(stats)[b, 0, 0]),
+                                       gmax, atol=1e-4)
+
+
+def test_fused_agg_corr_norm_batch_global_clamp(rng):
+    """One sample's raw scores exceed attn_clip, the other's do not: the
+    fused kernel must clamp BOTH (batch-global predicate), matching the
+    unfused scores_global_max + fused_agg_corr_mt path exactly."""
+    import jax.numpy as jnp
+    from craft_tpu.ops.corr import global_layer_norm
+    from craft_tpu.ops.pallas.mode_attention import (_fused_norm_tiles,
+                                                     fused_agg_corr_mt,
+                                                     fused_agg_corr_norm_mt)
+
+    B, M, H8, W8, md = 2, 2, 6, 128, 16
+    U = H8 * W8
+    assert _fused_norm_tiles(H8, W8) is not None
+    q = rng.randn(B, M, U, md).astype(np.float32) * 0.1
+    k = rng.randn(B, M, U, md).astype(np.float32) * 0.1
+    # Push only sample 0 above the clip threshold.
+    q[0, 0, 0] = 5.0
+    k[0, 0, 0] = 5.0
+    attn_clip = 10.0
+    per_sample_max = [float(np.max(np.einsum("mid,mjd->mij", q[b], k[b])
+                                   / np.sqrt(md))) for b in range(B)]
+    assert per_sample_max[0] > attn_clip > per_sample_max[1]
+
+    got, stats = fused_agg_corr_norm_mt(
+        jnp.asarray(q), jnp.asarray(k),
+        jnp.asarray((rng.randn(15, 15) * 0.1).astype(np.float32)), (H8, W8),
+        attn_clip, 0.0, 1.2, 0.1, out_dtype=jnp.float32, interpret=True)
+    raw = fused_agg_corr_mt(
+        jnp.asarray(q), jnp.asarray(k),
+        jnp.zeros((15, 15), np.float32), (H8, W8),
+        attn_clip, 0.0, 1.2, 0.1, interpret=True)
+    want = np.asarray(global_layer_norm(
+        jnp.asarray(raw).reshape(B, 1, U * U)).reshape(B, U, U))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-3)
+    for b in range(B):
+        np.testing.assert_allclose(float(np.asarray(stats)[b, 0, 0]),
+                                   max(per_sample_max), atol=1e-4)
