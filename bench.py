@@ -23,7 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 TARGET_FPS = 10.0  # 3x the ~3.3 fps A100 torch estimate (see docstring)
 
 
-def main():
+def main(profile: bool = False,
+         profile_dir: str = "/tmp/craft_tpu_bench_trace"):
     from craft_tpu.utils.jax_setup import setup_jax
     jax = setup_jax()
     import jax.numpy as jnp
@@ -65,6 +66,22 @@ def main():
     dt = (time.perf_counter() - t0) / n_iters
     fps = 1.0 / dt
 
+    if profile:
+        # One traced run + the top-self-time table, so every perf claim can
+        # ship with its trace (tools/parse_trace.py on profile_dir).
+        import jax.profiler
+        jax.profiler.start_trace(profile_dir)
+        for _ in range(3):
+            out = forward(variables, jimg1, jimg2)
+        _ = float(jnp.sum(out))
+        jax.profiler.stop_trace()
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from parse_trace import top_op_families
+        print(f"# trace: {profile_dir} (3 runs)", file=sys.stderr)
+        for nm, ms in top_op_families(profile_dir, n_runs=3)[:10]:
+            print(f"# {ms:9.3f} ms  {nm[:80]}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "craft_full_inference_fps_436x1024",
         "value": round(fps, 3),
@@ -74,4 +91,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(profile="--profile" in sys.argv[1:])

@@ -25,18 +25,38 @@ from craft_tpu.data import datasets as ds
 
 MAG_ENDPOINTS = [1, 10, 20, 30, np.inf]
 
+# Process default for Evaluator(seq_parallel=...): lets the CLI's one
+# --seq_parallel flag reach every validate_* (they build Evaluators
+# internally) without widening 9 signatures.
+_DEFAULT_SEQ_PARALLEL = False
+
+
+def set_default_seq_parallel(on: bool) -> None:
+    global _DEFAULT_SEQ_PARALLEL
+    _DEFAULT_SEQ_PARALLEL = bool(on)
+
 
 class Evaluator:
     """Shape-bucketed jitted forward for evaluation."""
 
     def __init__(self, cfg: ModelConfig, variables, iters: int = 12,
-                 test_mode: int = 1):
+                 test_mode: int = 1, seq_parallel: bool = None):
+        """seq_parallel: shard the token (query-row) axis of the attention/
+        correlation tensors over ALL local devices (parallel/sp.py) — the
+        big-frame scale-out path replacing the reference's half-resolution
+        workaround (reference evaluate.py:211-220)."""
         import jax
 
         self.cfg = cfg
         self.variables = variables
         self.iters = iters
         self.test_mode = test_mode
+        if seq_parallel is None:
+            seq_parallel = _DEFAULT_SEQ_PARALLEL
+        self._sp_mesh = None
+        if seq_parallel:
+            from craft_tpu.parallel.sp import make_seq_mesh
+            self._sp_mesh = make_seq_mesh()
         model = FlowModel(cfg=cfg, train=False)
 
         @functools.partial(jax.jit, static_argnames=("iters", "test_mode"))
@@ -57,11 +77,19 @@ class Evaluator:
         Returns (flow_lowres, list of per-iteration upsampled flows) — the list
         has one entry for test_mode=1, `iters` entries for test_mode=2.
         """
+        import contextlib
+
         import jax.numpy as jnp
 
-        lowres, flows = self._forward(self.variables, jnp.asarray(image1),
-                                      jnp.asarray(image2), iters=self.iters,
-                                      test_mode=self.test_mode)
+        if self._sp_mesh is not None:
+            from craft_tpu.parallel.sp import sequence_parallel
+            ctx = sequence_parallel(self._sp_mesh)  # trace-time constraint
+        else:
+            ctx = contextlib.nullcontext()
+        with ctx:
+            lowres, flows = self._forward(
+                self.variables, jnp.asarray(image1), jnp.asarray(image2),
+                iters=self.iters, test_mode=self.test_mode)
         flows = np.asarray(flows)
         return np.asarray(lowres), [flows[i] for i in range(flows.shape[0])]
 

@@ -58,6 +58,11 @@ def parse_args(argv=None):
     # Reference default: eval with --mixed_precision ON unless --fullprec
     # (which here also forces exact fp32 matmuls for strict parity).
     p.add_argument("--fullprec", dest="fullprec", action="store_true")
+    p.add_argument("--seq_parallel", action="store_true",
+                   help="shard the token axis of the attention/correlation "
+                        "tensors over all devices (big-frame scale-out; "
+                        "replaces the reference's half-res workaround, "
+                        "reference evaluate.py:211-220)")
     args = p.parse_args(argv)
     if not args.fullprec:
         args.mixed_precision = True
@@ -106,6 +111,10 @@ def main(argv=None):
 
     cfg = model_config_from_args(args)
     variables = load_variables(args, cfg)
+
+    if args.seq_parallel:
+        from craft_tpu.eval.evaluate import set_default_seq_parallel
+        set_default_seq_parallel(True)
 
     if args.convert:
         import orbax.checkpoint as ocp

@@ -90,8 +90,10 @@ class Attention(nn.Module):
                       name="pos_emb")(q[:, :, :1, :1])  # touch params only
             sim = jnp.einsum("bhxyd,bhuvd->bhxyuv", q, k)
 
-        sim = sim.reshape(B, self.heads, h * w, h * w)
-        return nn.softmax(sim.astype(jnp.float32), axis=-1).astype(self.dtype)
+        from craft_tpu.parallel.sp import sp_shard
+        sim = sp_shard(sim.reshape(B, self.heads, h * w, h * w), 2)
+        return sp_shard(
+            nn.softmax(sim.astype(jnp.float32), axis=-1).astype(self.dtype), 2)
 
 
 class Aggregate(nn.Module):

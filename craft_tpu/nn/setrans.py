@@ -49,6 +49,12 @@ def _pallas_allowed(cfg: "SETransSiteConfig", attention_mask) -> bool:
     """Single source of truth for whether a site may use Pallas kernels
     (shared by CrossAttFeatTrans branch selection and the module-level
     availability probes, so the two can never drift — ADVICE r2)."""
+    from craft_tpu.parallel.sp import sp_context
+    if sp_context() is not None:
+        # Sequence-parallel traces use the XLA path: Pallas custom calls are
+        # opaque to GSPMD's partitioner, while the einsum/softmax graph
+        # shards cleanly over the token axis (parallel/sp.py).
+        return False
     mode = cfg.use_pallas
     if mode == "off" or attention_mask is not None:
         return False
@@ -463,9 +469,11 @@ class CrossAttFeatTrans(nn.Module):
                 attention_fn=attention_fn)
 
         # --- XLA reference path ---
+        from craft_tpu.parallel.sp import sp_shard
+        q = sp_shard(q, 2)  # row (query-token) axis over the seq mesh
         scores = jnp.einsum("bmid,bmjd->bmij", q, k,
                             preferred_element_type=jnp.float32)
-        scores = scores / math.sqrt(md)
+        scores = sp_shard(scores, 2) / math.sqrt(md)
 
         # Conditional clamp: only rescales when the global max exceeds attn_clip
         # (reference setrans.py:527-529).  jit-safe via where on the predicate.
@@ -482,8 +490,9 @@ class CrossAttFeatTrans(nn.Module):
                      jnp.float32)))
 
         if pos_biases is not None:
+            # Dense bias is [U1, U2] (2-D) or [.., U1, U2]; shard its row axis.
             scores = scores + cfg.pos_code_weight * \
-                _as_dense_bias(pos_biases).astype(scores.dtype)
+                sp_shard(_as_dense_bias(pos_biases).astype(scores.dtype), -2)
         if attention_mask is not None:
             scores = scores + attention_mask.astype(scores.dtype)
 
@@ -526,7 +535,7 @@ class CrossAttFeatTrans(nn.Module):
                 clip_val, cfg.pos_code_weight, out_dtype=self.dtype,
                 interpret=interp, io_dtype=iodt)
 
-        probs = nn.softmax(scores, axis=-1).astype(self.dtype)
+        probs = sp_shard(nn.softmax(scores, axis=-1).astype(self.dtype), 2)
         # Attention dump hook: apply(..., mutable=['intermediates']) captures
         # these (the reference's SAVEF2 env hook, setrans.py:603-612, done the
         # flax way — zero cost unless the collection is made mutable).

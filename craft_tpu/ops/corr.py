@@ -86,10 +86,14 @@ def build_pyramid(
         vs the fp32 torch reference is < 5e-3 px over 12 iterations (pooling
         and normalization still run in fp32).
     """
+    from craft_tpu.parallel.sp import sp_shard
+
     B, U1, D, U2 = corr.shape
     h2, w2 = h1, w1
     assert U1 == h1 * w1 and U2 == h2 * w2
 
+    corr = sp_shard(corr, 1)  # query-row axis over the seq mesh (no-op
+    # outside a sequence_parallel context, parallel/sp.py)
     if do_global_norm:
         # Normalize over (U1, U2) jointly per (batch, dim) as the reference does.
         v = corr.transpose(0, 2, 1, 3).reshape(B, D, U1 * U2)
@@ -97,17 +101,18 @@ def build_pyramid(
         corr = v.reshape(B, D, U1, U2).transpose(0, 2, 1, 3)
 
     if D == 1:
-        base = corr.reshape(B * U1, h2, w2)  # free reshape
+        base = sp_shard(corr.reshape(B * U1, h2, w2), 0)  # free reshape
         levels = [base]
         for _ in range(num_levels - 1):
-            levels.append(jax.lax.reduce_window(
+            levels.append(sp_shard(jax.lax.reduce_window(
                 levels[-1], 0.0, jax.lax.add, (1, 2, 2), (1, 2, 2),
-                "VALID") / 4.0)
+                "VALID") / 4.0, 0))
     else:
-        base4 = corr.reshape(B * U1, D, h2, w2).transpose(0, 2, 3, 1)
+        base4 = sp_shard(corr.reshape(B * U1, D, h2, w2).transpose(0, 2, 3, 1),
+                         0)
         levels4 = [base4]
         for _ in range(num_levels - 1):
-            levels4.append(avg_pool2x2(levels4[-1]))
+            levels4.append(sp_shard(avg_pool2x2(levels4[-1]), 0))
         levels = [l.reshape(l.shape[0], l.shape[1], l.shape[2] * D)
                   for l in levels4]
     levels = [l.astype(level_dtype) for l in levels]

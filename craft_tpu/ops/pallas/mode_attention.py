@@ -253,9 +253,9 @@ def flash_mode_attention(q, k, v, bias, clip_val, pos_w,
     return out.reshape(bm + out.shape[1:]) if bm else out
 
 
-def _flash_kernel_mt(q_ref, kt_ref, v_ref, m_ref, clip_ref, out_ref,
-                     acc_ref, mx_ref, l_ref, *, scale, pos_w, nkv, rq, rk,
-                     w8, R, u2_valid):
+def _flash_kernel_mt(q_ref, kt_ref, v_ref, m_ref, clip_ref, row0_ref,
+                     out_ref, acc_ref, mx_ref, l_ref, *, scale, pos_w, nkv,
+                     rq, rk, w8, R, u2_valid):
     it = pl.program_id(1)
     kt = pl.program_id(2)
 
@@ -270,8 +270,11 @@ def _flash_kernel_mt(q_ref, kt_ref, v_ref, m_ref, clip_ref, out_ref,
         q_ref[0], kt_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
     s = jnp.clip(s, -clip_val, clip_val)
-    s = s + pos_w * _bias_tile_from_mtable(m_ref, it * rq, kt * rk, rq, rk,
-                                           w8, R)
+    # row0_ref: global W8-row offset of this shard's first query row —
+    # nonzero under sequence parallelism, where q holds a row slice of the
+    # full token axis (parallel/sequence_parallel.py).
+    s = s + pos_w * _bias_tile_from_mtable(m_ref, row0_ref[0] + it * rq,
+                                           kt * rk, rq, rk, w8, R)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kt * (rk * w8)
     s = jnp.where(col < u2_valid, s, NEG_INF)
 
@@ -291,16 +294,20 @@ def _flash_kernel_mt(q_ref, kt_ref, v_ref, m_ref, clip_ref, out_ref,
 
 def flash_mode_attention_mt(q, k, v, biases, grid_hw, clip_val, pos_w,
                             out_dtype=jnp.float32, interpret=False,
-                            io_dtype=jnp.float32):
+                            io_dtype=jnp.float32, q_row0=None):
     """flash_mode_attention with the sliding bias assembled in-kernel from
-    the [2R+1, W8, W8] block-Toeplitz table (self-attention: U1 == U2 ==
-    H8*W8 given by grid_hw).  Batched [B, M, ...] inputs fold B into the
-    mode grid axis."""
+    the [2R+1, W8, W8] block-Toeplitz table (self-attention: U2 == H8*W8
+    given by grid_hw).  Batched [B, M, ...] inputs fold B into the mode grid
+    axis.
+
+    q_row0: global W8-row offset of q's first row (traced int scalar) —
+    for sequence-parallel shards where q is a row slice (U1 = U2 / n_shards,
+    shard-aligned to whole W8 rows); None/0 for the full self-attention."""
     (q, k, v), bm = _flatten_batch(q, k, v)
     M, U1, md = q.shape
     H8, W8 = grid_hw
     U2, F = v.shape[1], v.shape[2]
-    assert U1 == H8 * W8 and U2 == U1
+    assert U2 == H8 * W8 and U1 <= U2 and U1 % W8 == 0
     R = (biases.shape[0] - 1) // 2
     scale = 1.0 / (md ** 0.5)
     rq = max(1, 256 // W8)
@@ -330,6 +337,7 @@ def flash_mode_attention_mt(q, k, v, biases, grid_hw, clip_val, pos_w,
             pl.BlockSpec((2 * R + 1, W8, W8), lambda m, i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, tq, F), lambda m, i, j: (m, i, 0),
                                memory_space=pltpu.VMEM),
@@ -340,13 +348,14 @@ def flash_mode_attention_mt(q, k, v, biases, grid_hw, clip_val, pos_w,
             pltpu.VMEM((tq, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(qp, ktp, vp, mtable, jnp.asarray([clip_val], jnp.float32))
+    )(qp, ktp, vp, mtable, jnp.asarray([clip_val], jnp.float32),
+      jnp.asarray([0 if q_row0 is None else q_row0], jnp.int32))
     out = out[:, :U1]
     return out.reshape(bm + out.shape[1:]) if bm else out
 
 
-def _agg_corr_kernel_mt(q_ref, kt_ref, m_ref, scal_ref, out_ref, *, scale,
-                        num_modes, rq, rk, w8, R):
+def _agg_corr_kernel_mt(q_ref, kt_ref, m_ref, scal_ref, row0_ref, out_ref,
+                        *, scale, num_modes, rq, rk, w8, R):
     # Grid: (batch, q_tiles, k_tiles); q_ref [1, M, TQ, md],
     # kt_ref [1, M, md, TK] (pre-transposed, MXU-natural contraction).
     it = pl.program_id(1)
@@ -356,8 +365,10 @@ def _agg_corr_kernel_mt(q_ref, kt_ref, m_ref, scal_ref, out_ref, *, scale,
     agg_w = scal_ref[2]
     agg_b = scal_ref[3]
 
-    bias = pos_w * _bias_tile_from_mtable(m_ref, it * rq, kt * rk, rq, rk,
-                                          w8, R)
+    # row0_ref: global W8-row offset of this shard's first query row
+    # (sequence parallelism); 0 for the full volume.
+    bias = pos_w * _bias_tile_from_mtable(m_ref, row0_ref[0] + it * rq,
+                                          kt * rk, rq, rk, w8, R)
     ss = []
     for mode in range(num_modes):
         s = jax.lax.dot_general(
@@ -381,17 +392,20 @@ def _agg_corr_kernel_mt(q_ref, kt_ref, m_ref, scal_ref, out_ref, *, scale,
 
 
 def fused_agg_corr_mt(q, k, biases, grid_hw, clip_val, pos_w, agg_w, agg_b,
-                      interpret=False, io_dtype=jnp.float32):
-    """fused_agg_corr with in-kernel sliding-bias assembly (U1 == U2 ==
-    H8*W8).  q, k: [M, U, md] or [B, M, U, md] (batch = leading grid axis);
-    returns [U, U] / [B, U, U]."""
+                      interpret=False, io_dtype=jnp.float32, q_row0=None):
+    """fused_agg_corr with in-kernel sliding-bias assembly (U2 == H8*W8).
+    q, k: [M, U, md] or [B, M, U, md] (batch = leading grid axis);
+    returns [U1, U2] / [B, U1, U2].
+
+    q_row0: global W8-row offset of q's first row (traced int scalar) for
+    sequence-parallel row shards (U1 = U2 / n_shards); None/0 otherwise."""
     batched = q.ndim == 4
     if not batched:
         q, k = q[None], k[None]
     B, M, U1, md = q.shape
     H8, W8 = grid_hw
     U2 = k.shape[2]
-    assert U1 == H8 * W8 and U2 == U1
+    assert U2 == H8 * W8 and U1 <= U2 and U1 % W8 == 0
     R = (biases.shape[0] - 1) // 2
     scale = 1.0 / (md ** 0.5)
     rq = max(1, 256 // W8)
@@ -417,12 +431,14 @@ def fused_agg_corr_mt(q, k, biases, grid_hw, clip_val, pos_w, agg_w, agg_b,
             pl.BlockSpec((2 * R + 1, W8, W8), lambda b, i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, tq, tk), lambda b, i, j: (b, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, U1p, U2p), jnp.float32),
         interpret=interpret,
-    )(qp, ktp, mtable, scal)
+    )(qp, ktp, mtable, scal,
+      jnp.asarray([0 if q_row0 is None else q_row0], jnp.int32))
     out = out[:, :U1, :U2]
     return out if batched else out[0]
 

@@ -21,19 +21,29 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 
+def _token_spec(ndim: int, axis: str):
+    """PartitionSpec sharding the token (second-to-last) axis of a
+    [..., U, d] array: [M, U, md] or [B, M, U, md]."""
+    spec = [None] * ndim
+    spec[-2] = axis
+    return P(*spec)
+
+
 def sp_fused_agg_corr(mesh: Mesh, q, k, bias, clip_val, pos_w, agg_w, agg_b,
                       axis: str = "data", interpret: bool = False):
     """Row-sharded CRAFT correlation volume.
 
-    q: [M, U1, md] (U1 divisible by mesh axis size), k: [M, U2, md],
-    bias: [U1, U2] or None.  Returns [U1, U2] sharded on rows.
+    q: [M, U1, md] or [B, M, U1, md] (U1 divisible by mesh axis size),
+    k: same rank, bias: [U1, U2] or None.  Returns [U1, U2] / [B, U1, U2]
+    sharded on rows.
     """
     from craft_tpu.ops.pallas.mode_attention import fused_agg_corr
 
     has_bias = bias is not None
-    in_specs = (P(None, axis, None), P(None, None, None))
+    in_specs = (_token_spec(q.ndim, axis), P(*([None] * k.ndim)))
     if has_bias:
         in_specs = in_specs + (P(axis, None),)
+    out_spec = P(axis, None) if q.ndim == 3 else P(None, axis, None)
 
     def local(q_l, k_full, *maybe_bias):
         b_l = maybe_bias[0] if maybe_bias else None
@@ -41,19 +51,51 @@ def sp_fused_agg_corr(mesh: Mesh, q, k, bias, clip_val, pos_w, agg_w, agg_b,
                               agg_b, interpret=interpret)
 
     fn = shard_map(local, mesh=mesh, in_specs=in_specs,
-                   out_specs=P(axis, None), check_vma=False)
+                   out_specs=out_spec, check_vma=False)
     args = (q, k) + ((bias,) if has_bias else ())
     return fn(*args)
 
 
+def sp_fused_agg_corr_mt(mesh: Mesh, q, k, biases, grid_hw, clip_val, pos_w,
+                         agg_w, agg_b, axis: str = "data",
+                         interpret: bool = False):
+    """Row-sharded correlation volume with IN-KERNEL block-Toeplitz bias
+    assembly (no dense [U, U] bias anywhere): each shard passes its global
+    W8-row offset to the kernel so the sliding bias lands on the right
+    diagonals.  q: [M, U, md] or [B, M, U, md]; biases: [2R+1, 2R+1]
+    window; grid_hw = (H8, W8) with H8 divisible by the mesh axis size."""
+    import jax.numpy as jnp
+
+    from craft_tpu.ops.pallas.mode_attention import fused_agg_corr_mt
+
+    H8, W8 = grid_hw
+    n = mesh.shape[axis]
+    assert H8 % n == 0, (H8, n)
+    rows_per_shard = H8 // n
+    in_specs = (_token_spec(q.ndim, axis), P(*([None] * k.ndim)),
+                P(None, None))
+    out_spec = P(axis, None) if q.ndim == 3 else P(None, axis, None)
+
+    def local(q_l, k_full, biases_full):
+        row0 = jax.lax.axis_index(axis).astype(jnp.int32) * rows_per_shard
+        return fused_agg_corr_mt(q_l, k_full, biases_full, grid_hw,
+                                 clip_val, pos_w, agg_w, agg_b,
+                                 interpret=interpret, q_row0=row0)
+
+    fn = shard_map(local, mesh=mesh, in_specs=in_specs,
+                   out_specs=out_spec, check_vma=False)
+    return fn(q, k, biases)
+
+
 def sp_flash_mode_attention(mesh: Mesh, q, k, v, bias, clip_val, pos_w,
                             axis: str = "data", interpret: bool = False):
-    """Row-sharded flash multi-mode attention: out [M, U1, F] sharded on U1."""
+    """Row-sharded flash multi-mode attention: out [(B,) M, U1, F] sharded
+    on U1.  Accepts [M, U, d] or batched [B, M, U, d] inputs."""
     from craft_tpu.ops.pallas.mode_attention import flash_mode_attention
 
     has_bias = bias is not None
-    in_specs = (P(None, axis, None), P(None, None, None),
-                P(None, None, None))
+    in_specs = (_token_spec(q.ndim, axis), P(*([None] * k.ndim)),
+                P(*([None] * v.ndim)))
     if has_bias:
         in_specs = in_specs + (P(axis, None),)
 
@@ -63,6 +105,34 @@ def sp_flash_mode_attention(mesh: Mesh, q, k, v, bias, clip_val, pos_w,
                                     pos_w, interpret=interpret)
 
     fn = shard_map(local, mesh=mesh, in_specs=in_specs,
-                   out_specs=P(None, axis, None), check_vma=False)
+                   out_specs=_token_spec(q.ndim, axis), check_vma=False)
     args = (q, k, v) + ((bias,) if has_bias else ())
     return fn(*args)
+
+
+def sp_flash_mode_attention_mt(mesh: Mesh, q, k, v, biases, grid_hw,
+                               clip_val, pos_w, axis: str = "data",
+                               interpret: bool = False):
+    """Row-sharded flash attention with in-kernel block-Toeplitz bias
+    assembly (the f2/intra sites' structured sliding bias).  q/k/v:
+    [M, U, d] or [B, M, U, d]; biases: [2R+1, 2R+1]."""
+    import jax.numpy as jnp
+
+    from craft_tpu.ops.pallas.mode_attention import flash_mode_attention_mt
+
+    H8, W8 = grid_hw
+    n = mesh.shape[axis]
+    assert H8 % n == 0, (H8, n)
+    rows_per_shard = H8 // n
+    in_specs = (_token_spec(q.ndim, axis), P(*([None] * k.ndim)),
+                P(*([None] * v.ndim)), P(None, None))
+
+    def local(q_l, k_full, v_full, biases_full):
+        row0 = jax.lax.axis_index(axis).astype(jnp.int32) * rows_per_shard
+        return flash_mode_attention_mt(q_l, k_full, v_full, biases_full,
+                                       grid_hw, clip_val, pos_w,
+                                       interpret=interpret, q_row0=row0)
+
+    fn = shard_map(local, mesh=mesh, in_specs=in_specs,
+                   out_specs=_token_spec(q.ndim, axis), check_vma=False)
+    return fn(q, k, v, biases)

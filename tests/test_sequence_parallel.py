@@ -50,3 +50,122 @@ def test_sp_flash_attention(rng):
     got = np.asarray(sp_flash_mode_attention(mesh, q, k, v, bias, 4.0, 0.5,
                                              interpret=True))
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_sp_fused_agg_corr_batched(rng):
+    import jax.numpy as jnp
+    from craft_tpu.ops.pallas.mode_attention import fused_agg_corr
+    from craft_tpu.parallel.sequence_parallel import sp_fused_agg_corr
+
+    mesh = _mesh()
+    B, M, U, md = 2, 2, 128, 16
+    q = jnp.asarray(rng.randn(B, M, U, md).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, M, U, md).astype(np.float32))
+
+    want = np.asarray(fused_agg_corr(q, k, None, 3.0, 0.5, 0.7, -0.2,
+                                     tq=64, tk=64, interpret=True))
+    got = np.asarray(sp_fused_agg_corr(mesh, q, k, None, 3.0, 0.5, 0.7,
+                                       -0.2, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_sp_fused_agg_corr_mt_row_offsets(rng):
+    """The sharded block-Toeplitz kernel must place the sliding bias on the
+    correct global diagonals: each shard passes its W8-row offset."""
+    import jax.numpy as jnp
+    from craft_tpu.ops.pallas.mode_attention import fused_agg_corr_mt
+    from craft_tpu.parallel.sequence_parallel import sp_fused_agg_corr_mt
+
+    mesh = _mesh()
+    M, H8, W8, md = 2, 16, 16, 8
+    U = H8 * W8
+    q = jnp.asarray(rng.randn(M, U, md).astype(np.float32))
+    k = jnp.asarray(rng.randn(M, U, md).astype(np.float32))
+    biases = jnp.asarray(rng.randn(15, 15).astype(np.float32))
+
+    want = np.asarray(fused_agg_corr_mt(q, k, biases, (H8, W8), 3.0, 0.5,
+                                        0.7, -0.2, interpret=True))
+    got = np.asarray(sp_fused_agg_corr_mt(mesh, q, k, biases, (H8, W8),
+                                          3.0, 0.5, 0.7, -0.2,
+                                          interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_sp_flash_mode_attention_mt_batched(rng):
+    import jax.numpy as jnp
+    from craft_tpu.ops.pallas.mode_attention import flash_mode_attention_mt
+    from craft_tpu.parallel.sequence_parallel import \
+        sp_flash_mode_attention_mt
+
+    mesh = _mesh()
+    B, M, H8, W8, md, F = 2, 2, 16, 16, 8, 16
+    U = H8 * W8
+    q = jnp.asarray(rng.randn(B, M, U, md).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, M, U, md).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, M, U, F).astype(np.float32))
+    biases = jnp.asarray(rng.randn(15, 15).astype(np.float32))
+
+    want = np.asarray(flash_mode_attention_mt(q, k, v, biases, (H8, W8),
+                                              4.0, 0.5, interpret=True))
+    got = np.asarray(sp_flash_mode_attention_mt(mesh, q, k, v, biases,
+                                                (H8, W8), 4.0, 0.5,
+                                                interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_sp_model_end_to_end_matches_unsharded(rng):
+    """Full CRAFT inference with the token axis sharded over 8 devices
+    (Evaluator(seq_parallel=True), the VERDICT r2 #6 model-level entry
+    point) equals the unsharded forward.  The O(U^2) tensors — attention
+    scores/probs, correlation volume, pyramid levels — carry 'seq' sharding
+    constraints; GSPMD inserts the collectives."""
+    import jax
+
+    from craft_tpu.config import craft_config
+    from craft_tpu.eval.evaluate import Evaluator
+    from craft_tpu.models.flow_model import FlowModel
+
+    _mesh()  # skip when <8 devices
+    cfg = craft_config(mixed_precision=False)
+    model = FlowModel(cfg=cfg, train=False)
+    H, W = 64, 128  # H8=8 rows -> 1 row per device; W8=16
+    img1 = rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32)
+    img2 = rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, H, W, 3), np.float32),
+                           np.zeros((1, H, W, 3), np.float32), iters=1)
+
+    ev_ref = Evaluator(cfg, variables, iters=3)
+    ev_sp = Evaluator(cfg, variables, iters=3, seq_parallel=True)
+    lowres_ref, flows_ref = ev_ref(img1, img2)
+    lowres_sp, flows_sp = ev_sp(img1, img2)
+    np.testing.assert_allclose(lowres_sp, lowres_ref, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(flows_sp[-1], flows_ref[-1], atol=1e-3,
+                               rtol=1e-3)
+
+
+def test_sp_gma_model_matches_unsharded(rng):
+    """GMA-attention variant under sequence parallelism (the gma.py scores
+    constraint path)."""
+    import jax
+
+    from craft_tpu.config import gma_config
+    from craft_tpu.eval.evaluate import Evaluator
+    from craft_tpu.models.flow_model import FlowModel
+
+    _mesh()
+    cfg = gma_config(mixed_precision=False)
+    model = FlowModel(cfg=cfg, train=False)
+    H, W = 64, 64
+    img1 = rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32)
+    img2 = rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, H, W, 3), np.float32),
+                           np.zeros((1, H, W, 3), np.float32), iters=1)
+
+    ev_ref = Evaluator(cfg, variables, iters=2)
+    ev_sp = Evaluator(cfg, variables, iters=2, seq_parallel=True)
+    _, flows_ref = ev_ref(img1, img2)
+    _, flows_sp = ev_sp(img1, img2)
+    np.testing.assert_allclose(flows_sp[-1], flows_ref[-1], atol=1e-3,
+                               rtol=1e-3)
