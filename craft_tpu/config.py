@@ -170,6 +170,9 @@ class ModelConfig:
 
     dropout: float = 0.0               # fnet/cnet Dropout2d rate
     mixed_precision: bool = True       # bf16 compute islands (fp32 correlation)
+    # lax.scan unroll factor for the refinement loop: >1 lets XLA overlap /
+    # fuse across iterations at the cost of compile time + code size.
+    scan_unroll: int = 1
 
     @property
     def corr_multiplier(self) -> int:

@@ -262,7 +262,7 @@ class FlowModel(nn.Module):
 
         scan = nn.scan(step, variable_broadcast="params",
                        split_rngs={"params": False, "dropout": False},
-                       length=iters)
+                       length=iters, unroll=cfg.scan_unroll)
         (net, coords1), flows_up = scan(self, (net, coords1), None)
 
         return coords1 - coords0, flows_up

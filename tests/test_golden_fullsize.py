@@ -65,3 +65,52 @@ def test_craft_sintel_size_fullprec_parity():
     print(f"sintel-size parity: max |flow diff| = {err:.2e}, "
           f"mean |EPE delta| = {epe_delta:.2e}")
     assert err < 1e-3, f"max |flow diff| = {err}"
+
+
+@pytest.mark.slow
+def test_craft_sintel_size_bf16_production_bound():
+    """Production-precision fullsize bound (VERDICT r2 #8): the bf16
+    mixed-precision path (the serving configuration) vs the fp32 torch
+    oracle at 440x1024, tolerance 0.05 px — the conversion-parity budget
+    measured on hardware (BENCH_NOTES: 0.054 px max / 0.013 mean)."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    from craft_tpu.config import craft_config
+    from craft_tpu.models.flow_model import FlowModel
+    from craft_tpu.ops.geometry import InputPadder
+    from craft_tpu.utils.torch_convert import convert_torch_state
+
+    ref, _ = build_reference_model("craft")
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    cfg = craft_config(mixed_precision=True)
+    model = FlowModel(cfg=cfg, train=False)
+
+    H, W, iters = 440, 1024, 2
+    rng = np.random.RandomState(7)
+    img1 = rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32)
+    img2 = rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32)
+
+    padder = InputPadder((1, H, W, 3), mode="sintel")
+    a, b = padder.pad(jnp.asarray(img1), jnp.asarray(img2))
+
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32), iters=1)
+    variables, _ = convert_torch_state(state, variables, strict=True)
+    _, flows = model.apply(variables, a, b, iters=iters)
+    got = np.asarray(padder.unpad(flows[-1]))
+
+    with torch.no_grad():
+        t1 = torch.from_numpy(np.asarray(a).transpose(0, 3, 1, 2))
+        t2 = torch.from_numpy(np.asarray(b).transpose(0, 3, 1, 2))
+        _, ref_up = ref(t1, t2, iters=iters, test_mode=1)
+    ref_up = ref_up.numpy().transpose(0, 2, 3, 1)[:, :H, :W]
+
+    err = np.abs(got - ref_up).max()
+    mean_err = np.abs(got - ref_up).mean()
+    print(f"sintel-size bf16 bound: max |flow diff| = {err:.3e}, "
+          f"mean = {mean_err:.3e}")
+    assert err < 0.05, f"max |flow diff| = {err}"

@@ -175,6 +175,61 @@ def test_loadsched_restores_schedule_position(tmp_path, rng):
     assert int(plain.step) == 0
 
 
+def test_kill_resume_continuity(tmp_path, rng):
+    """Crash/resume mid-schedule reproduces the uninterrupted run exactly:
+    4 straight steps == (2 steps -> checkpoint -> restore with
+    --loadopt --loadsched semantics -> 2 more steps), bit-for-bit in params
+    and LR position (reference train.py:147-175 + VERDICT r2 #1)."""
+    import jax
+
+    from craft_tpu.config import raft_config
+    from craft_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+    from craft_tpu.training.optim import onecycle_linear_host
+    from craft_tpu.training.train_step import (create_train_state,
+                                               make_train_step)
+
+    cfg = raft_config(mixed_precision=False)
+    batch = _tiny_batch(rng)
+    key = jax.random.PRNGKey(1)
+
+    def fresh_state(seed):
+        return create_train_state(cfg, jax.random.PRNGKey(seed),
+                                  image_shape=(64, 64), lr=1e-3,
+                                  num_steps=20)
+
+    state, tx, _ = fresh_state(0)
+    step_fn = jax.jit(make_train_step(cfg, tx, iters=1))
+
+    # Uninterrupted: 4 steps.
+    straight = state
+    for _ in range(4):
+        straight, m_straight = step_fn(straight, batch, key)
+
+    # Interrupted: 2 steps, checkpoint, re-init from a DIFFERENT seed (the
+    # restart process), restore everything, 2 more steps.
+    interrupted = state
+    for _ in range(2):
+        interrupted, _ = step_fn(interrupted, batch, key)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, jax.device_get(interrupted), {"k": 1})
+    other, _, _ = fresh_state(99)
+    resumed, logger = load_checkpoint(path, other, load_optimizer_state=True,
+                                      load_scheduler_state=True,
+                                      load_logger=True)
+    assert int(resumed.step) == 2 and logger["k"] == 1
+    host_lr = onecycle_linear_host(1e-3, 20 + 100)
+    assert host_lr(int(resumed.step)) == host_lr(2)  # LR position continuous
+    for _ in range(2):
+        resumed, m_resumed = step_fn(resumed, batch, key)
+
+    assert int(resumed.step) == int(straight.step) == 4
+    for a, b in zip(jax.tree.leaves(straight.params),
+                    jax.tree.leaves(resumed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(float(m_resumed["loss"]),
+                               float(m_straight["loss"]), rtol=1e-6)
+
+
 def test_f2_half_rejected():
     import argparse
 

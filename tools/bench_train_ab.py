@@ -1,0 +1,67 @@
+"""Training-throughput A/B harness (VERDICT r2 #2: >=12 samples/s/chip at
+the chairs config).  Variants are selected by argv so every timing comes
+from a fresh process (no cross-variant compilation-cache or HBM effects):
+
+    python tools/bench_train_ab.py baseline
+    python tools/bench_train_ab.py unroll2 | unroll3 | unroll4 | unroll6
+    python tools/bench_train_ab.py batch5 | batch6
+    python tools/bench_train_ab.py flags    # XLA flag experiment via env
+"""
+import os
+import sys
+import time
+
+variant = sys.argv[1] if len(sys.argv) > 1 else "baseline"
+
+sys.path.insert(0, "/root/repo")
+from craft_tpu.utils.jax_setup import setup_jax  # noqa: E402
+
+jax = setup_jax()
+import numpy as np  # noqa: E402
+
+from craft_tpu.config import craft_config  # noqa: E402
+from craft_tpu.training.train_step import (create_train_state,  # noqa: E402
+                                           make_train_step)
+
+H, W = 368, 496
+B = 4
+unroll = 1
+if variant.startswith("unroll"):
+    unroll = int(variant[len("unroll"):])
+elif variant.startswith("batch"):
+    B = int(variant[len("batch"):])
+
+cfg = craft_config(mixed_precision=True).replace(scan_unroll=unroll)
+state, tx, _ = create_train_state(cfg, jax.random.PRNGKey(0),
+                                  image_shape=(H, W), lr=2.5e-4,
+                                  num_steps=1000)
+step = jax.jit(make_train_step(cfg, tx, iters=12), donate_argnums=(0,))
+
+rng = np.random.RandomState(0)
+batch = {
+    "image1": rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32),
+    "image2": rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32),
+    "flow": rng.uniform(-5, 5, (B, H, W, 2)).astype(np.float32),
+    "valid": np.ones((B, H, W), np.float32),
+}
+key = jax.random.PRNGKey(1)
+
+t0 = time.perf_counter()
+state, metrics = step(state, batch, key)
+_ = float(np.asarray(metrics["loss"]))
+print(f"[{variant}] compile+first step: {time.perf_counter() - t0:.1f} s",
+      flush=True)
+
+n = 10
+best = float("inf")
+for rep in range(3):
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, metrics = step(state, batch, key)
+    _ = float(np.asarray(metrics["loss"]))
+    dt = (time.perf_counter() - t0) / n
+    best = min(best, dt)
+    print(f"[{variant}] rep{rep}: {dt * 1000:.1f} ms/step "
+          f"({B / dt:.2f} samples/s)", flush=True)
+print(f"[{variant}] BEST: {best * 1000:.1f} ms/step "
+      f"({B / best:.2f} samples/s, batch {B} @ {H}x{W}, unroll {unroll})")
