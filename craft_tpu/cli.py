@@ -88,6 +88,11 @@ def model_config_from_args(args) -> ModelConfig:
         pos_code_type=args.intra_pos_code_type,
         pos_code_weight=args.intra_pos_code_weight,
         pos_bias_radius=args.pos_bias_radius)
+    if args.mixed_precision:
+        # int8 fixed-point intra probs ride with mixed precision (serving
+        # config; inference-only path) — see config.craft_config.
+        import dataclasses
+        intra = dataclasses.replace(intra, quantize_probs=True)
 
     return ModelConfig(
         arch=arch, craft=craft, f2trans=f2trans, f1trans=args.f1trans,

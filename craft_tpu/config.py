@@ -53,6 +53,11 @@ class SETransSiteConfig:
     attn_mask_radius: int = -1
     # Pallas fused-attention kernels: 'auto' (TPU + inference), 'on', 'off'.
     use_pallas: str = "auto"
+    # Materialized-probs storage for the probs-only (intra) site at
+    # inference: int8 fixed-point (p*127) halves the HBM bytes the
+    # per-iteration aggregate streams.  Only affects the Pallas serving
+    # path; accuracy bound tested vs the bf16 path.
+    quantize_probs: bool = False
     # Dropout (reference defaults setrans.py:110-111).
     hidden_dropout_prob: float = 0.1
     attention_probs_dropout_prob: float = 0.2
@@ -221,7 +226,15 @@ def craft_config(
     f2trans: str = "full",
     f1trans: str = "none",
 ) -> ModelConfig:
+    # int8 fixed-point intra probs ride with mixed precision (the production
+    # serving config): +1 fps at Sintel size, 0.019 px max / 0.004 px mean
+    # flow deviation vs the bf16-probs path (BENCH_NOTES round 3).  --fullprec
+    # keeps exact bf16/fp32 probs.
+    intra = intra_attn_config()
+    if mixed_precision:
+        intra = dataclasses.replace(intra, quantize_probs=True)
     return ModelConfig(
         arch="craft", craft=True, f2trans=f2trans, f1trans=f1trans,
         use_setrans=use_setrans, mixed_precision=mixed_precision,
+        intra=intra,
     )

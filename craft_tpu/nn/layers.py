@@ -150,15 +150,19 @@ class InstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # Stats in fp32 (accumulated over H*W), normalization applied in the
-        # compute dtype — avoids materializing full fp32 copies of bf16
-        # activations (the stats are per-(sample, channel) scalars).
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True,
-                        dtype=jnp.float32)
-        var = jnp.mean(jnp.square(x.astype(jnp.float32) - mean),
-                       axis=(1, 2), keepdims=True)
+        # Stats via E[x^2] - E[x]^2 with fp32 ACCUMULATORS but no
+        # materialized fp32 copy of x: the two-pass (x - mean)^2 form made
+        # XLA materialize + relayout full fp32 activations around each
+        # reduction (measured ~4 ms/run of {3,1,2,0}<->{0,3,2,1} copies in
+        # fnet at Sintel size).  The difference form loses ~1e-7 relative
+        # on fp32 inputs (activations are O(1) here) and nothing on bf16
+        # inputs, whose storage already rounds at 2^-8.
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+        mean_sq = jnp.mean(jax.lax.square(x), axis=(1, 2), keepdims=True,
+                           dtype=jnp.float32)
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
         scale = jax.lax.rsqrt(var + self.epsilon)
-        y = (x.astype(jnp.float32) - mean) * scale
+        y = (x - mean.astype(x.dtype)) * scale.astype(x.dtype)
         return y.astype(self.dtype)
 
 

@@ -91,6 +91,31 @@ def fused_norm_available(cfg: "SETransSiteConfig", H8: int, W8: int,
 
 
 @jax.tree_util.register_pytree_node_class
+class QuantizedProbs:
+    """Materialized attention probs in int8 fixed point: probs = num * scale
+    with num = round(exp(s - rowmax) * 127) and scale = 1/(127 * l) per row
+    (ops/pallas/mode_attention.py::mode_softmax_probs_mt(quantized=True)).
+    Halves the HBM bytes the per-iteration aggregate streams; the consumer
+    (ExpandedFeatTrans) folds the per-row scale into the einsum OUTPUT, so
+    the matmul reads raw int8."""
+
+    def __init__(self, num, scale):
+        self.num = num      # [B, M, U, U] int8
+        self.scale = scale  # [B, M, U, 1] f32
+
+    @property
+    def dtype(self):
+        return self.num.dtype
+
+    def tree_flatten(self):
+        return (self.num, self.scale), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
 class LazyModeAttention:
     """Intra-frame attention held as (q, k, bias window) instead of a
     materialized [B, M, U, U] prob tensor (~400 MB/sample fp16 at Sintel
@@ -530,6 +555,15 @@ class CrossAttFeatTrans(nn.Module):
             # Materialize probs once; the XLA probs@V einsum in the scan
             # body overlaps with GRU compute, which a per-iteration Pallas
             # custom call cannot (measured: 17.7 vs 13.4 fps at batch 1).
+            # int8 fixed-point storage (cfg.quantize_probs) halves the
+            # 396 MB/iteration the aggregate streams; ExpandedFeatTrans
+            # applies the per-row dequant scale to the einsum output.
+            if cfg.quantize_probs:
+                num, scales = mode_softmax_probs_mt(
+                    q, k, pos_biases.biases, (pos_biases.H, pos_biases.W),
+                    clip_val, cfg.pos_code_weight, interpret=interp,
+                    io_dtype=iodt, quantized=True)
+                return QuantizedProbs(num, scales)
             return mode_softmax_probs_mt(
                 q, k, pos_biases.biases, (pos_biases.H, pos_biases.W),
                 clip_val, cfg.pos_code_weight, out_dtype=self.dtype,
@@ -612,6 +646,15 @@ class ExpandedFeatTrans(nn.Module):
         if attention_fn is not None:
             # Fused (flash) application — probs are never materialized.
             fused = attention_fn(v)  # [B, M, U1, F]
+        elif isinstance(attention_probs, QuantizedProbs):
+            # int8 fixed-point probs (cfg.quantize_probs): the convert fuses
+            # into the dot's operand read so only half the bytes stream from
+            # HBM; the per-row softmax-denominator scale is linear in the
+            # row and lands on the einsum OUTPUT.
+            qp = attention_probs
+            fused = jnp.einsum("bmij,bmjf->bmif",
+                               qp.num.astype(self.dtype), v) * \
+                qp.scale.astype(self.dtype)
         else:
             fused = jnp.einsum("bmij,bmjf->bmif",
                                attention_probs.astype(self.dtype), v)

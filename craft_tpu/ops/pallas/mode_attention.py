@@ -702,12 +702,60 @@ def _probs_kernel_mt(q_ref, kt_ref, m_ref, clip_ref, out_ref, mx_ref, l_ref,
         out_ref[0] = (jnp.exp(s - mx_ref[:]) / l_ref[:]).astype(out_ref.dtype)
 
 
+def _probs_kernel_mt_q(q_ref, kt_ref, m_ref, clip_ref, out_ref, sc_ref,
+                       mx_ref, l_ref, *, scale, pos_w, nkv, rq, rk, w8, R,
+                       u2_valid):
+    """Quantized variant: writes round(exp(s - rowmax) * 127) as int8 plus
+    the per-row dequant scale 1/(127 * l).  Every row's max exp is exactly
+    1.0 -> 127, so diffuse rows survive quantization (a fixed global scale
+    would round U~7000-token uniform rows to zero)."""
+    it = pl.program_id(1)
+    ph = pl.program_id(2)
+    kt = pl.program_id(3)
+
+    @pl.when((ph == 0) & (kt == 0))
+    def _():
+        mx_ref[:] = jnp.full_like(mx_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    clip_val = clip_ref[0]
+    s = jax.lax.dot_general(
+        q_ref[0], kt_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    s = jnp.clip(s, -clip_val, clip_val)
+    s = s + pos_w * _bias_tile_from_mtable(m_ref, it * rq, kt * rk, rq, rk,
+                                           w8, R)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kt * (rk * w8)
+    s = jnp.where(col < u2_valid, s, NEG_INF)
+
+    @pl.when(ph == 0)
+    def _():
+        m_prev = mx_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        l_ref[:] = l_ref[:] * jnp.exp(m_prev - m_new) + \
+            jnp.sum(jnp.exp(s - m_new), axis=1, keepdims=True)
+        mx_ref[:] = m_new
+
+    @pl.when(ph == 1)
+    def _():
+        out_ref[0] = jnp.round(
+            jnp.exp(s - mx_ref[:]) * 127.0).astype(jnp.int8)
+
+        @pl.when(kt == 0)
+        def _():
+            sc_ref[0] = 1.0 / (127.0 * l_ref[:])
+
+
 def mode_softmax_probs_mt(q, k, biases, grid_hw, clip_val, pos_w,
                           out_dtype=jnp.bfloat16, interpret=False,
-                          io_dtype=jnp.float32):
+                          io_dtype=jnp.float32, quantized=False):
     """probs[m] = softmax(clamp(scale q_m k_m^T) + pos_w * bias) without ever
     materializing fp32 scores.  Returns [M, U, U] in out_dtype.  Batched
-    [B, M, ...] inputs fold B into the mode grid axis."""
+    [B, M, ...] inputs fold B into the mode grid axis.
+
+    quantized=True: returns (int8 [M, U, U] numerators round(exp*127),
+    f32 [M, U, 1] per-row dequant scales 1/(127*l)) — probs = num * scale.
+    Halves the bytes the per-iteration aggregate streams from HBM."""
     (q, k), bm = _flatten_batch(q, k)
     M, U1, md = q.shape
     H8, W8 = grid_hw
@@ -738,28 +786,59 @@ def mode_softmax_probs_mt(q, k, biases, grid_hw, clip_val, pos_w,
 
     nkv = U2p // tk
     grid = (M, U1p // tq, 2, nkv)
+    in_specs = [
+        pl.BlockSpec((1, tq, md), lambda m, i, p, j: (m, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, md, tk), lambda m, i, p, j: (m, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * R + 1, W8, W8), lambda m, i, p, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    scratch = [
+        pltpu.VMEM((tq, 1), jnp.float32),
+        pltpu.VMEM((tq, 1), jnp.float32),
+    ]
+    args = (qp, ktp, mtable, jnp.asarray([clip_val], jnp.float32))
+
+    if quantized:
+        out, scales = pl.pallas_call(
+            functools.partial(_probs_kernel_mt_q, scale=scale, pos_w=pos_w,
+                              nkv=nkv, rq=rq, rk=rk, w8=W8, R=R,
+                              u2_valid=U2),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, tq, tk), lambda m, i, p, j: (m, i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tq, 1), lambda m, i, p, j: (m, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((M, U1p, U2p), jnp.int8),
+                jax.ShapeDtypeStruct((M, U1p, 1), jnp.float32),
+            ],
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(*args)
+        out = out[:, :U1, :U2]
+        scales = scales[:, :U1]
+        if bm:
+            out = out.reshape(bm + out.shape[1:])
+            scales = scales.reshape(bm + scales.shape[1:])
+        return out, scales
+
     out = pl.pallas_call(
         functools.partial(_probs_kernel_mt, scale=scale, pos_w=pos_w,
                           nkv=nkv, rq=rq, rk=rk, w8=W8, R=R, u2_valid=U2),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, tq, md), lambda m, i, p, j: (m, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, md, tk), lambda m, i, p, j: (m, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * R + 1, W8, W8), lambda m, i, p, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tq, tk), lambda m, i, p, j: (m, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, U1p, U2p), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((tq, 1), jnp.float32),
-            pltpu.VMEM((tq, 1), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(qp, ktp, mtable, jnp.asarray([clip_val], jnp.float32))
+    )(*args)
     out = out[:, :U1, :U2]
     return out.reshape(bm + out.shape[1:]) if bm else out
 

@@ -213,6 +213,38 @@ def test_lazy_intra_attention_matches_materialized(rng):
                                atol=5e-5, rtol=1e-4)
 
 
+def test_mode_softmax_probs_quantized(rng):
+    """int8 fixed-point probs (round(exp*127) + per-row 1/(127 l) scale)
+    reconstruct the bf16/f32 probs to ~1/254 of the row max, and the
+    dequantized aggregate matches within 1%.  Diffuse rows (uniform
+    attention over U tokens) must survive — the failure mode of a fixed
+    global scale."""
+    import jax.numpy as jnp
+    from craft_tpu.ops.pallas.mode_attention import mode_softmax_probs_mt
+
+    M, H8, W8, md = 2, 4, 128, 16
+    U = H8 * W8
+    q = rng.randn(M, U, md).astype(np.float32) * 0.3
+    k = rng.randn(M, U, md).astype(np.float32) * 0.3
+    q[1] = 0.0  # mode 1: perfectly diffuse rows (prob = 1/U each)
+    biases = (rng.randn(15, 15) * 0.1).astype(np.float32)
+    biases_z = np.zeros_like(biases)
+
+    want = np.asarray(mode_softmax_probs_mt(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(biases_z), (H8, W8),
+        100.0, 0.0, out_dtype=jnp.float32, interpret=True))
+    num, sc = mode_softmax_probs_mt(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(biases_z), (H8, W8),
+        100.0, 0.0, interpret=True, quantized=True)
+    got = np.asarray(num).astype(np.float32) * np.asarray(sc)
+    assert np.asarray(num).dtype == np.int8
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    # Diffuse mode: every entry 1/U, exactly representable (exp = 1 -> 127).
+    np.testing.assert_allclose(got[1], 1.0 / U, rtol=1e-5)
+    # Row sums stay normalized to ~0.5%.
+    np.testing.assert_allclose(got.sum(-1), 1.0, atol=5e-3)
+
+
 def test_fused_agg_corr_norm_matches_unfused(rng):
     """Two-sweep fused clamp+norm kernel == fused_agg_corr_mt followed by
     global layer-norm (per batch element)."""

@@ -105,7 +105,7 @@ tcv = tc.init({**drop, "params": key}, fmap[:1], fmap[:1], None, None, False,
 
 
 def corr_loss(v, a, b):
-    vol, _ = tc.apply(v, a, b, None, None, False, None, rngs=drop)
+    vol = tc.apply(v, a, b, None, None, False, None, rngs=drop)
     pyr = build_pyramid(vol, B, H8, W8, 4, 4, do_global_norm=True,
                         level_dtype=jnp.bfloat16)
     return sum(jnp.sum(l.astype(jnp.float32) ** 2) for l in pyr.levels) * 1e-6
