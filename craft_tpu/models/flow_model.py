@@ -243,6 +243,10 @@ class FlowModel(nn.Module):
             update_block = GMAUpdateBlock(cfg, dtype=cdt, name="update_block")
         else:
             update_block = BasicUpdateBlock(cfg, dtype=cdt, name="update_block")
+        # The context features' GRU gate contribution is iteration-invariant:
+        # precompute it once here instead of convolving `inp` on every scan
+        # step (~25% of the in-loop GRU MACs; see nn/update.py docstring).
+        gru_static = update_block.precompute_gru_static(inp.astype(cdt))
 
         def step(mdl, carry, _):
             net, coords1 = carry
@@ -251,10 +255,12 @@ class FlowModel(nn.Module):
             flow = coords1 - coords0
             if cfg.arch == "craft":
                 net, up_mask, delta = update_block(
-                    net, inp, corr.astype(cdt), flow.astype(cdt), attention)
+                    net, inp, corr.astype(cdt), flow.astype(cdt), attention,
+                    gru_static=gru_static)
             else:
                 net, up_mask, delta = update_block(
-                    net, inp, corr.astype(cdt), flow.astype(cdt))
+                    net, inp, corr.astype(cdt), flow.astype(cdt),
+                    gru_static=gru_static)
             coords1 = coords1 + delta.astype(jnp.float32)
             flow_up = convex_upsample((coords1 - coords0),
                                       up_mask.astype(jnp.float32))

@@ -13,6 +13,19 @@ import time
 
 variant = sys.argv[1] if len(sys.argv) > 1 else "baseline"
 
+# XLA flag experiments: each named variant sets its flags before jax import.
+# vmem64/vmem128 raise the scoped-VMEM budget XLA's fusion/conv emitters may
+# use (default 16 MB-ish); licm raises the while-loop invariant-code-motion
+# size cap so loop-constant convs can be hoisted out of the refinement scan.
+_FLAG_VARIANTS = {
+    "vmem64": "--xla_tpu_scoped_vmem_limit_kib=65536",
+    "vmem128": "--xla_tpu_scoped_vmem_limit_kib=131072",
+    "licm": "--xla_tpu_licm_size_inflation_ratio=16",
+}
+if variant in _FLAG_VARIANTS:
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + " "
+                               + _FLAG_VARIANTS[variant]).strip()
+
 sys.path.insert(0, "/root/repo")
 from craft_tpu.utils.jax_setup import setup_jax  # noqa: E402
 
