@@ -178,6 +178,12 @@ class ModelConfig:
     # lax.scan unroll factor for the refinement loop: >1 lets XLA overlap /
     # fuse across iterations at the cost of compile time + code size.
     scan_unroll: int = 1
+    # Rematerialize the f2/intra attention sites in training.  With the
+    # probs_vjp training path (bf16 Pallas probs + closed-form backward) the
+    # stored activation is only the bf16 probs tensor, so turning remat OFF
+    # trades ~260 MB/site (chairs crops) for skipping the full site
+    # recompute in the backward pass.
+    remat_att_sites: bool = True
 
     @property
     def corr_multiplier(self) -> int:

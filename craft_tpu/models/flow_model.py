@@ -136,7 +136,7 @@ class FlowModel(nn.Module):
         # static_argnums: `deterministic` must stay a Python bool under remat
         # (arg 0 is the module itself).
         SAVPT = nn.remat(SelfAttVisPosTrans, static_argnums=(2,)) \
-            if self.train else SelfAttVisPosTrans
+            if (self.train and cfg.remat_att_sites) else SelfAttVisPosTrans
         TC = nn.remat(TransCorr, static_argnums=(5,)) if self.train \
             else TransCorr
 

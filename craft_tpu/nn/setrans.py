@@ -493,6 +493,46 @@ class CrossAttFeatTrans(nn.Module):
                 key_feat, None, deterministic=deterministic,
                 attention_fn=attention_fn)
 
+        # --- training-side flash attention (f2/intra sites) ---
+        # Under bf16 training, compute the softmax probs via a Pallas
+        # forward + closed-form XLA backward (ops/pallas/probs_vjp.py): the
+        # fp32 [B, M, U, U] scores + exp temporaries of the XLA softmax —
+        # and their full remat recompute in the backward — never exist.
+        # The fullprec (f32) path keeps the exact XLA softmax below, so
+        # golden/grad-parity claims stay on the reference path.
+        train_probs_kernel = (
+            not deterministic
+            and not cfg.out_attn_scores_only
+            and not cfg.ablate_multihead
+            and jnp.dtype(self.dtype) == jnp.bfloat16
+            and self._pallas_allowed(attention_mask)
+            and pos_biases is not None
+            and not self.is_mutable_collection("intermediates")
+            and not self.is_mutable_collection("diagnostics"))
+        if train_probs_kernel:
+            from craft_tpu.ops.pallas.mode_attention import scores_global_max
+            from craft_tpu.ops.pallas.probs_vjp import mode_softmax_probs_diff
+            iodt = self.dtype
+            gmax = scores_global_max(jax.lax.stop_gradient(q),
+                                     jax.lax.stop_gradient(k),
+                                     1.0 / math.sqrt(md),
+                                     interpret=interp, io_dtype=iodt)
+            clip_val = jnp.where(gmax > cfg.attn_clip, cfg.attn_clip, 1e30)
+            if structured:
+                probs = mode_softmax_probs_diff(
+                    q, k, pos_biases.biases, clip_val, cfg.pos_code_weight,
+                    (pos_biases.H, pos_biases.W), True, interp, iodt,
+                    self.dtype)
+            else:
+                bias2d = _as_dense_bias(pos_biases).astype(jnp.float32)
+                # Dense bias may arrive [.., U1, U2] with singleton leading
+                # dims; the kernel wants the 2-D table.
+                bias2d = bias2d.reshape(bias2d.shape[-2:])
+                probs = mode_softmax_probs_diff(
+                    q, k, bias2d, clip_val, cfg.pos_code_weight, (0, 0),
+                    False, interp, iodt, self.dtype)
+            return self._probs_output(probs, key_feat, deterministic)
+
         # --- XLA reference path ---
         from craft_tpu.parallel.sp import sp_shard
         q = sp_shard(q, 2)  # row (query-token) axis over the seq mesh
@@ -574,13 +614,21 @@ class CrossAttFeatTrans(nn.Module):
         # these (the reference's SAVEF2 env hook, setrans.py:603-612, done the
         # flax way — zero cost unless the collection is made mutable).
         self.sow("intermediates", "attn_probs", probs)
+        return self._probs_output(probs, key_feat, deterministic)
+
+    def _probs_output(self, probs, key_feat, deterministic):
+        """Common tail after the softmax probs exist: attention dropout,
+        then probs-only return or the ExpandedFeatTrans feature output.
+        Shared by the XLA softmax path and the Pallas probs_vjp training
+        path so param structure and dropout semantics cannot drift."""
+        cfg = self.cfg
         if not deterministic and cfg.attention_probs_dropout_prob > 0:
             from craft_tpu.nn.layers import lean_dropout
             probs = lean_dropout(probs, cfg.attention_probs_dropout_prob,
                                  self.make_rng("dropout"))
 
         if cfg.out_attn_probs_only:
-            if M > 1:
+            if cfg.num_modes > 1:
                 # The reference creates (but never applies) attn_softaggr in
                 # the probs-only path too (setrans.py:432-436); keep the
                 # params for state-dict structure parity.

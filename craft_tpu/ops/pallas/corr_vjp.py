@@ -55,7 +55,9 @@ def _sliding_bias_grad(g: jnp.ndarray, H: int, W: int, R: int,
             u1 = jnp.arange(ncut) + max(0, -off)
             valid = ((j_idx[u1] + dw >= 0) & (j_idx[u1] + dw < W)
                      & (i_idx[u1] + dh >= 0) & (i_idx[u1] + dh < H))
-            cols.append(jnp.sum(diag * valid))
+            # f32 accumulation even for bf16 cotangents (probs_vjp passes
+            # dl in the kernel io dtype).
+            cols.append(jnp.sum((diag * valid).astype(jnp.float32)))
         rows.append(jnp.stack(cols))
     return pos_w * jnp.stack(rows)
 

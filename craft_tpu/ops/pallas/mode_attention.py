@@ -668,8 +668,8 @@ def fused_agg_corr_norm_mt(q, k, biases, grid_hw, attn_clip, pos_w, agg_w,
 # stats phase (no writes), then writes normalized probs directly in the output
 # dtype — the [M, U, U] fp32 scores never exist.
 
-def _probs_kernel_mt(q_ref, kt_ref, m_ref, clip_ref, out_ref, mx_ref, l_ref,
-                     *, scale, pos_w, nkv, rq, rk, w8, R, u2_valid):
+def _probs_kernel_mt(q_ref, kt_ref, m_ref, scal_ref, out_ref, mx_ref, l_ref,
+                     *, scale, nkv, rq, rk, w8, R, u2_valid):
     it = pl.program_id(1)
     ph = pl.program_id(2)
     kt = pl.program_id(3)
@@ -679,7 +679,8 @@ def _probs_kernel_mt(q_ref, kt_ref, m_ref, clip_ref, out_ref, mx_ref, l_ref,
         mx_ref[:] = jnp.full_like(mx_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    clip_val = clip_ref[0]
+    clip_val = scal_ref[0]
+    pos_w = scal_ref[1]
     s = jax.lax.dot_general(
         q_ref[0], kt_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
@@ -702,8 +703,8 @@ def _probs_kernel_mt(q_ref, kt_ref, m_ref, clip_ref, out_ref, mx_ref, l_ref,
         out_ref[0] = (jnp.exp(s - mx_ref[:]) / l_ref[:]).astype(out_ref.dtype)
 
 
-def _probs_kernel_mt_q(q_ref, kt_ref, m_ref, clip_ref, out_ref, sc_ref,
-                       mx_ref, l_ref, *, scale, pos_w, nkv, rq, rk, w8, R,
+def _probs_kernel_mt_q(q_ref, kt_ref, m_ref, scal_ref, out_ref, sc_ref,
+                       mx_ref, l_ref, *, scale, nkv, rq, rk, w8, R,
                        u2_valid):
     """Quantized variant: writes round(exp(s - rowmax) * 127) as int8 plus
     the per-row dequant scale 1/(127 * l).  Every row's max exp is exactly
@@ -718,7 +719,8 @@ def _probs_kernel_mt_q(q_ref, kt_ref, m_ref, clip_ref, out_ref, sc_ref,
         mx_ref[:] = jnp.full_like(mx_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    clip_val = clip_ref[0]
+    clip_val = scal_ref[0]
+    pos_w = scal_ref[1]
     s = jax.lax.dot_general(
         q_ref[0], kt_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
@@ -799,11 +801,14 @@ def mode_softmax_probs_mt(q, k, biases, grid_hw, clip_val, pos_w,
         pltpu.VMEM((tq, 1), jnp.float32),
         pltpu.VMEM((tq, 1), jnp.float32),
     ]
-    args = (qp, ktp, mtable, jnp.asarray([clip_val], jnp.float32))
+    # clip_val and pos_w ride SMEM so they may be traced values (the
+    # custom-vjp training path passes tracers; functools.partial would bake
+    # a leaked tracer into the kernel closure).
+    args = (qp, ktp, mtable, jnp.asarray([clip_val, pos_w], jnp.float32))
 
     if quantized:
         out, scales = pl.pallas_call(
-            functools.partial(_probs_kernel_mt_q, scale=scale, pos_w=pos_w,
+            functools.partial(_probs_kernel_mt_q, scale=scale,
                               nkv=nkv, rq=rq, rk=rk, w8=W8, R=R,
                               u2_valid=U2),
             grid=grid,
@@ -829,7 +834,7 @@ def mode_softmax_probs_mt(q, k, biases, grid_hw, clip_val, pos_w,
         return out, scales
 
     out = pl.pallas_call(
-        functools.partial(_probs_kernel_mt, scale=scale, pos_w=pos_w,
+        functools.partial(_probs_kernel_mt, scale=scale,
                           nkv=nkv, rq=rq, rk=rk, w8=W8, R=R, u2_valid=U2),
         grid=grid,
         in_specs=in_specs,
@@ -839,6 +844,92 @@ def mode_softmax_probs_mt(q, k, biases, grid_hw, clip_val, pos_w,
         scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
+    out = out[:, :U1, :U2]
+    return out.reshape(bm + out.shape[1:]) if bm else out
+
+
+def _probs_kernel(q_ref, kt_ref, bias_ref, scal_ref, out_ref, mx_ref, l_ref,
+                  *, scale, tk, u2_valid):
+    """Dense-bias variant of _probs_kernel_mt: same two-phase (row stats,
+    then normalized write) blockwise softmax, but the bias tile comes from a
+    padded dense [U1p, U2p] table instead of the block-Toeplitz row table —
+    the fallback when W8-multiples don't align to Mosaic's (8, 128) tiles
+    (e.g. the 368x496 chairs training crop, W8=62)."""
+    ph = pl.program_id(2)
+    kt = pl.program_id(3)
+
+    @pl.when((ph == 0) & (kt == 0))
+    def _():
+        mx_ref[:] = jnp.full_like(mx_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    clip_val = scal_ref[0]
+    pos_w = scal_ref[1]
+    s = jax.lax.dot_general(
+        q_ref[0], kt_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    s = jnp.clip(s, -clip_val, clip_val)
+    s = s + pos_w * bias_ref[:]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kt * tk
+    s = jnp.where(col < u2_valid, s, NEG_INF)
+
+    @pl.when(ph == 0)
+    def _():
+        m_prev = mx_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        l_ref[:] = l_ref[:] * jnp.exp(m_prev - m_new) + \
+            jnp.sum(jnp.exp(s - m_new), axis=1, keepdims=True)
+        mx_ref[:] = m_new
+
+    @pl.when(ph == 1)
+    def _():
+        out_ref[0] = (jnp.exp(s - mx_ref[:]) / l_ref[:]).astype(out_ref.dtype)
+
+
+def mode_softmax_probs(q, k, bias, clip_val, pos_w, tq=256, tk=512,
+                       out_dtype=jnp.bfloat16, interpret=False,
+                       io_dtype=jnp.float32):
+    """probs[m] = softmax(clamp(scale q_m k_m^T) + pos_w * bias) with a dense
+    [U1, U2] bias table (or None) — the padded-tiling fallback for grids the
+    block-Toeplitz kernel can't tile (see mt_alignment_ok).  Returns
+    [M, U1, U2] in out_dtype; batched [B, M, ...] inputs fold B into the mode
+    grid axis."""
+    (q, k), bm = _flatten_batch(q, k)
+    M, U1, md = q.shape
+    U2 = k.shape[1]
+    scale = 1.0 / (md ** 0.5)
+    U1p = ((U1 + tq - 1) // tq) * tq
+    U2p = ((U2 + tk - 1) // tk) * tk
+    qp = _pad_to(q, U1p, 1).astype(io_dtype)
+    ktp = jnp.swapaxes(_pad_to(k, U2p, 1).astype(io_dtype), 1, 2)
+    if bias is None:
+        bias = jnp.zeros((U1, U2), jnp.float32)
+    biasp = _pad_to(_pad_to(bias.astype(jnp.float32), U2p, 1), U1p, 0)
+
+    nkv = U2p // tk
+    grid = (M, U1p // tq, 2, nkv)
+    out = pl.pallas_call(
+        functools.partial(_probs_kernel, scale=scale, tk=tk,
+                          u2_valid=U2),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tq, md), lambda m, i, p, j: (m, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, md, tk), lambda m, i, p, j: (m, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, tk), lambda m, i, p, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, tk), lambda m, i, p, j: (m, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, U1p, U2p), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tq, 1), jnp.float32),
+            pltpu.VMEM((tq, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, ktp, biasp, jnp.asarray([clip_val, pos_w], jnp.float32))
     out = out[:, :U1, :U2]
     return out.reshape(bm + out.shape[1:]) if bm else out
 

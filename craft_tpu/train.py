@@ -119,7 +119,9 @@ def main(argv=None):
 
     train_step = make_train_step(cfg, tx, iters=args.iters, gamma=args.gamma,
                                  freeze_bn=freeze_bn)
-    train_step = jax.jit(train_step, donate_argnums=(0,))
+    from craft_tpu.utils.jax_setup import train_compiler_options
+    train_step = jax.jit(train_step, donate_argnums=(0,),
+                         compiler_options=train_compiler_options())
 
     dataset = fetch_training_dataset(
         args.stage, tuple(args.image_size), shift_prob=args.shift_aug_prob,

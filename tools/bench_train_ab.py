@@ -13,18 +13,20 @@ import time
 
 variant = sys.argv[1] if len(sys.argv) > 1 else "baseline"
 
-# XLA flag experiments: each named variant sets its flags before jax import.
-# vmem64/vmem128 raise the scoped-VMEM budget XLA's fusion/conv emitters may
-# use (default 16 MB-ish); licm raises the while-loop invariant-code-motion
-# size cap so loop-constant convs can be hoisted out of the refinement scan.
+# XLA flag experiments.  XLA_FLAGS cannot carry TPU-specific flags on this
+# platform (the local jaxlib's parse_flags_from_env aborts on flags only the
+# remote TPU compiler knows), so they go through jit(compiler_options=...),
+# which the axon remote-compile path validates and honors (a bogus option
+# name errors).  vmem64/vmem128 raise the scoped-VMEM budget XLA's
+# fusion/conv emitters may use (default 16 MB-ish); licm raises the
+# while-loop invariant-code-motion size cap so loop-constant operands can be
+# hoisted out of the refinement scan.
 _FLAG_VARIANTS = {
-    "vmem64": "--xla_tpu_scoped_vmem_limit_kib=65536",
-    "vmem128": "--xla_tpu_scoped_vmem_limit_kib=131072",
-    "licm": "--xla_tpu_licm_size_inflation_ratio=16",
+    "vmem64": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
+    "vmem128": {"xla_tpu_scoped_vmem_limit_kib": "131072"},
+    "licm": {"xla_tpu_licm_size_inflation_ratio": "16"},
 }
-if variant in _FLAG_VARIANTS:
-    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + " "
-                               + _FLAG_VARIANTS[variant]).strip()
+compiler_options = _FLAG_VARIANTS.get(variant)
 
 sys.path.insert(0, "/root/repo")
 from craft_tpu.utils.jax_setup import setup_jax  # noqa: E402
@@ -45,10 +47,26 @@ elif variant.startswith("batch"):
     B = int(variant[len("batch"):])
 
 cfg = craft_config(mixed_precision=True).replace(scan_unroll=unroll)
+if variant == "xlaattn":
+    # Disable the probs_vjp training path on the f2/intra sites (keeps the
+    # corr_vjp inter site): isolates the training-side flash attention gain.
+    import dataclasses
+    cfg = cfg.replace(
+        f2=dataclasses.replace(cfg.f2, use_pallas="off"),
+        intra=dataclasses.replace(cfg.intra, use_pallas="off"))
+elif variant == "noremat":
+    # probs_vjp path + store the bf16 probs instead of recomputing the
+    # f2/intra sites in the backward pass.
+    cfg = cfg.replace(remat_att_sites=False)
 state, tx, _ = create_train_state(cfg, jax.random.PRNGKey(0),
                                   image_shape=(H, W), lr=2.5e-4,
                                   num_steps=1000)
-step = jax.jit(make_train_step(cfg, tx, iters=12), donate_argnums=(0,))
+from craft_tpu.utils.jax_setup import train_compiler_options  # noqa: E402
+
+if compiler_options is None and variant != "novmem":
+    compiler_options = train_compiler_options()  # the production default
+step = jax.jit(make_train_step(cfg, tx, iters=12), donate_argnums=(0,),
+               compiler_options=compiler_options)
 
 rng = np.random.RandomState(0)
 batch = {

@@ -11,6 +11,9 @@ import numpy as np
 from flax import linen as nn
 
 from craft_tpu.config import craft_config
+from craft_tpu.utils.jax_setup import train_compiler_options
+
+CO = train_compiler_options()
 from craft_tpu.models.flow_model import FlowModel, TransCorr
 from craft_tpu.nn.encoder import BasicEncoder
 from craft_tpu.nn.setrans import SelfAttVisPosTrans
@@ -48,7 +51,7 @@ def timeit(name, fn, *args, n=10):
 from craft_tpu.training.train_step import create_train_state, make_train_step
 state, tx, _ = create_train_state(cfg, key, image_shape=(H, W), lr=2.5e-4,
                                   num_steps=1000)
-step = jax.jit(make_train_step(cfg, tx, iters=12))
+step = jax.jit(make_train_step(cfg, tx, iters=12), compiler_options=CO)
 batch = {
     "image1": rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32),
     "image2": rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32),
@@ -69,7 +72,7 @@ def fnet_loss(v, x):
     return jnp.sum(fnet.apply(v, x).astype(jnp.float32) ** 2) * 1e-6
 
 
-timeit("fnet fwd+bwd (2B frames)", jax.jit(jax.grad(fnet_loss)), fvars, img)
+timeit("fnet fwd+bwd (2B frames)", jax.jit(jax.grad(fnet_loss), compiler_options=CO), fvars, img)
 
 fmap = jnp.asarray(rng.randn(B, H8, W8, 256).astype(np.float32)) * 0.5
 SAV = nn.remat(SelfAttVisPosTrans, static_argnums=(2,))
@@ -82,7 +85,7 @@ def f2_loss(v, x):
     return jnp.sum(out.astype(jnp.float32) ** 2) * 1e-6
 
 
-timeit("f2 fwd+bwd (remat, dropout)", jax.jit(jax.grad(f2_loss)), f2v,
+timeit("f2 fwd+bwd (remat, dropout)", jax.jit(jax.grad(f2_loss), compiler_options=CO), f2v,
        fmap.astype(cdt))
 
 inp = jnp.asarray(rng.randn(B, H8, W8, 128).astype(np.float32)).astype(cdt)
@@ -95,7 +98,7 @@ def intra_loss(v, x):
     return jnp.sum(out.astype(jnp.float32) ** 2) * 1e-6
 
 
-timeit("intra fwd+bwd (remat, dropout)", jax.jit(jax.grad(intra_loss)), iv,
+timeit("intra fwd+bwd (remat, dropout)", jax.jit(jax.grad(intra_loss), compiler_options=CO), iv,
        inp)
 
 TCr = nn.remat(TransCorr, static_argnums=(5, 6))
@@ -111,7 +114,7 @@ def corr_loss(v, a, b):
     return sum(jnp.sum(l.astype(jnp.float32) ** 2) for l in pyr.levels) * 1e-6
 
 
-timeit("inter corr+pyramid fwd+bwd", jax.jit(jax.grad(corr_loss)), tcv,
+timeit("inter corr+pyramid fwd+bwd", jax.jit(jax.grad(corr_loss), compiler_options=CO), tcv,
        fmap, fmap)
 
 # refinement loop fwd+bwd (materialized attention probs input)
@@ -145,5 +148,5 @@ def loop_loss(v, levels, att, net, inp):
     return jnp.sum(ups.astype(jnp.float32) ** 2) * 1e-6
 
 
-timeit("12-iter loop fwd+bwd", jax.jit(jax.grad(loop_loss)), ubv,
+timeit("12-iter loop fwd+bwd", jax.jit(jax.grad(loop_loss), compiler_options=CO), ubv,
        pyr.levels, att, net0, inp)
