@@ -5,7 +5,7 @@ train-craft-f2full.sh stage 1).  Reference baseline: ~2 steps/s on 2 GPUs
 
 import sys, time
 sys.path.insert(0, "/root/repo")
-from craft_tpu.utils.jax_setup import setup_jax
+from craft_tpu.utils.jax_setup import setup_jax, train_compiler_options
 jax = setup_jax()
 import jax.numpy as jnp
 import numpy as np
@@ -18,7 +18,8 @@ cfg = craft_config(mixed_precision=True)
 state, tx, _ = create_train_state(cfg, jax.random.PRNGKey(0),
                                   image_shape=(H, W), lr=2.5e-4,
                                   num_steps=1000)
-step = jax.jit(make_train_step(cfg, tx, iters=12), donate_argnums=(0,))
+step = jax.jit(make_train_step(cfg, tx, iters=12), donate_argnums=(0,),
+               compiler_options=train_compiler_options())
 
 rng = np.random.RandomState(0)
 batch = {
