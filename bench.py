@@ -58,13 +58,20 @@ def main(profile: bool = False,
     out = forward(variables, jimg1, jimg2)
     _ = float(jnp.sum(out))
 
-    n_iters = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = forward(variables, jimg1, jimg2)
-    _ = float(jnp.sum(out))
-    dt = (time.perf_counter() - t0) / n_iters
-    fps = 1.0 / dt
+    # >=5 timed trials, median + IQR reported: the bench chip has shown
+    # multi-x wall-clock drift within minutes (BENCH_NOTES r3), so a single
+    # best-of number carries an uncharacterized error bar.
+    n_trials, n_iters = 5, 10
+    trial_fps = []
+    for _ in range(n_trials):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = forward(variables, jimg1, jimg2)
+        _ = float(jnp.sum(out))
+        dt = (time.perf_counter() - t0) / n_iters
+        trial_fps.append(1.0 / dt)
+    fps = float(np.median(trial_fps))
+    q1, q3 = np.percentile(trial_fps, [25, 75])
 
     if profile:
         # One traced run + the top-self-time table, so every perf claim can
@@ -87,6 +94,8 @@ def main(profile: bool = False,
         "value": round(fps, 3),
         "unit": "frame-pairs/sec/chip",
         "vs_baseline": round(fps / TARGET_FPS, 3),
+        "trials": [round(f, 3) for f in trial_fps],
+        "iqr": [round(float(q1), 3), round(float(q3), 3)],
     }))
 
 

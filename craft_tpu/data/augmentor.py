@@ -75,6 +75,16 @@ def _resize(img, fx, fy, is_flow=False):
     return out
 
 
+def _complementary_spans(extent, delta):
+    """Index spans that crop `delta` pixels complementarily from a pair of
+    images along one axis: the first span drops from the leading edge when
+    delta < 0 (trailing edge when delta > 0), the second the opposite, so
+    both spans have length extent - |delta| and frame 2's content sits
+    shifted by exactly `delta` relative to frame 1's."""
+    lead, trail = max(0, -delta), max(0, delta)
+    return slice(lead, extent - trail), slice(trail, extent - lead)
+
+
 def random_shift(img1, img2, flow, shift_sigmas=(16, 10)):
     """CRAFT shift-consistency augmentation (reference augmentor.py:16-78):
     Laplace-sampled even (dx, dy) with one axis damped x1/4; img1/img2 cropped
@@ -90,31 +100,22 @@ def random_shift(img1, img2, flow, shift_sigmas=(16, 10)):
     dy = (int(dy) // 2) * 2
 
     H, W = img1.shape[:2]
-    if dx >= 0 and dy >= 0:
-        b1 = (0, H - dy, 0, W - dx)
-        b2 = (dy, H, dx, W)
-    elif dx >= 0 and dy < 0:
-        b1 = (-dy, H, 0, W - dx)
-        b2 = (0, H + dy, dx, W)
-    elif dx < 0 and dy >= 0:
-        b1 = (0, H - dy, -dx, W)
-        b2 = (dy, H, 0, W + dx)
-    else:
-        b1 = (-dy, H, -dx, W)
-        b2 = (0, H + dy, 0, W + dx)
+    rows1, rows2 = _complementary_spans(H, dy)
+    cols1, cols2 = _complementary_spans(W, dx)
+    img1a = img1[rows1, cols1]
+    flowa = flow[rows1, cols1] - np.array([dx, dy], flow.dtype)
+    img2a = img2[rows2, cols2]
 
-    T1, B1, L1, R1 = b1
-    T2, B2, L2, R2 = b2
-    img1a = img1[T1:B1, L1:R1]
-    flowa = flow[T1:B1, L1:R1] - np.array([dx, dy], flow.dtype)
-    img2a = img2[T2:B2, L2:R2]
-
-    dx2, dy2 = abs(dx) // 2, abs(dy) // 2
+    # Re-center: pad half the dropped pixels onto each side, mask the pad.
+    pad_x, pad_y = abs(dx) // 2, abs(dy) // 2
     valid = np.ones(img1a.shape[:2], dtype=bool)
-    img1a = np.pad(img1a, ((dy2, dy2), (dx2, dx2), (0, 0)), "constant")
-    img2a = np.pad(img2a, ((dy2, dy2), (dx2, dx2), (0, 0)), "constant")
-    flowa = np.pad(flowa, ((dy2, dy2), (dx2, dx2), (0, 0)), "constant")
-    valid = np.pad(valid, ((dy2, dy2), (dx2, dx2)), "constant",
+    img1a = np.pad(img1a, ((pad_y, pad_y), (pad_x, pad_x), (0, 0)),
+                   "constant")
+    img2a = np.pad(img2a, ((pad_y, pad_y), (pad_x, pad_x), (0, 0)),
+                   "constant")
+    flowa = np.pad(flowa, ((pad_y, pad_y), (pad_x, pad_x), (0, 0)),
+                   "constant")
+    valid = np.pad(valid, ((pad_y, pad_y), (pad_x, pad_x)), "constant",
                    constant_values=False)
     return img1a, img2a, flowa, valid
 
