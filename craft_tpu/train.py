@@ -59,6 +59,11 @@ def parse_args(argv=None):
     p.add_argument("--freeze_bn", action="store_true")
     p.add_argument("--val_freq", type=int, default=10000)
     p.add_argument("--print_freq", type=int, default=100)
+    p.add_argument("--attn_diag", action="store_true",
+                   help="every print_freq-th step runs with attention-health "
+                        "telemetry (max_attn / clamp_frac / avg_abs_attn) "
+                        "folded into the metrics (reference setrans.py "
+                        "periodic prints)")
     p.add_argument("--data_root", type=str, default="datasets")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--profile_steps", type=int, default=0,
@@ -122,6 +127,16 @@ def main(argv=None):
     from craft_tpu.utils.jax_setup import train_compiler_options
     train_step = jax.jit(train_step, donate_argnums=(0,),
                          compiler_options=train_compiler_options())
+    diag_step = None
+    if args.attn_diag:
+        # Second compiled step with the 'diagnostics' collection mutable
+        # (XLA attention path); used every print_freq-th step so the fast
+        # fused-kernel step keeps doing the bulk of the work.
+        diag_step = make_train_step(cfg, tx, iters=args.iters,
+                                    gamma=args.gamma, freeze_bn=freeze_bn,
+                                    attn_diag=True)
+        diag_step = jax.jit(diag_step, donate_argnums=(0,),
+                            compiler_options=train_compiler_options())
 
     dataset = fetch_training_dataset(
         args.stage, tuple(args.image_size), shift_prob=args.shift_aug_prob,
@@ -166,7 +181,9 @@ def main(argv=None):
         if args.profile_steps and step == 10:
             import jax.profiler
             jax.profiler.start_trace(args.profile_dir)
-        state, metrics = train_step(state, batch, step_rng)
+        use_diag = diag_step is not None and step % args.print_freq == 0
+        state, metrics = (diag_step if use_diag else train_step)(
+            state, batch, step_rng)
         step += 1
         if args.profile_steps and step == 10 + args.profile_steps:
             import jax.profiler

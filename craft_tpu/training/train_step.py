@@ -49,11 +49,37 @@ def create_train_state(cfg: ModelConfig, rng, image_shape=(368, 496),
             tx, schedule)
 
 
+def _summarize_attn_diag(diag) -> Dict[str, jnp.ndarray]:
+    """Reduce the sown 'diagnostics' collection (per-attention-site max_attn /
+    clamp_frac / avg_abs_attn scalars) to three global metrics — the jit-safe
+    analog of the reference's periodic max-attn/clamp-count prints
+    (setrans.py:520-536)."""
+    buckets: Dict[str, list] = {"max_attn": [], "clamp_frac": [],
+                                "avg_abs_attn": []}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(diag)[0]:
+        name = jax.tree_util.keystr(path)
+        for key, vals in buckets.items():
+            if key in name:
+                vals.append(jnp.asarray(leaf, jnp.float32))
+    out = {}
+    if buckets["max_attn"]:
+        out["attn_max"] = jnp.max(jnp.stack(buckets["max_attn"]))
+    if buckets["clamp_frac"]:
+        out["attn_clamp_frac"] = jnp.mean(jnp.stack(buckets["clamp_frac"]))
+    if buckets["avg_abs_attn"]:
+        out["attn_avg_abs"] = jnp.mean(jnp.stack(buckets["avg_abs_attn"]))
+    return out
+
+
 def make_train_step(cfg: ModelConfig, tx, iters: int = 12, gamma: float = 0.8,
-                    freeze_bn: bool = False):
+                    freeze_bn: bool = False, attn_diag: bool = False):
     """Build the jittable train step fn(state, batch, rng) -> (state, metrics).
 
     batch: dict(image1 [B,H,W,3], image2, flow [B,H,W,2], valid [B,H,W]).
+    attn_diag: run with the 'diagnostics' collection mutable and fold the
+    attention-health telemetry into metrics.  This forces the XLA attention
+    path (the fused probs kernel never materializes scores), so the trainer
+    compiles it as a *second* step used every print_freq-th iteration.
     """
     model = FlowModel(cfg=cfg, train=True, freeze_bn=freeze_bn)
 
@@ -64,18 +90,24 @@ def make_train_step(cfg: ModelConfig, tx, iters: int = 12, gamma: float = 0.8,
             variables["batch_stats"] = batch_stats
             if not freeze_bn:
                 mutable = ["batch_stats"]
+        if attn_diag:
+            mutable = mutable + ["diagnostics"]
         if mutable:
             (lowres, flows), updates = model.apply(
                 variables, batch["image1"], batch["image2"], iters=iters,
                 rngs={"dropout": rng}, mutable=mutable)
             new_stats = updates.get("batch_stats", batch_stats)
+            diag = updates.get("diagnostics", {})
         else:
             lowres, flows = model.apply(
                 variables, batch["image1"], batch["image2"], iters=iters,
                 rngs={"dropout": rng})
             new_stats = batch_stats
+            diag = {}
         loss, metrics = sequence_loss(flows.astype(jnp.float32),
                                       batch["flow"], batch["valid"], gamma)
+        if diag:
+            metrics = dict(metrics, **_summarize_attn_diag(diag))
         return loss, (metrics, new_stats)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):

@@ -242,3 +242,31 @@ def test_f2_half_rejected():
     args = p.parse_args(["--craft", "--f2", "half"])
     with _pytest.raises(SystemExit, match="f2 half"):
         model_config_from_args(args)
+
+
+def test_attn_diag_metrics(rng):
+    """--attn_diag parity with the reference's periodic attention-health
+    prints (setrans.py:520-536): the diag-enabled step must fold max_attn /
+    clamp_frac / avg_abs_attn into the metrics dict."""
+    import jax
+
+    from craft_tpu.config import craft_config
+    from craft_tpu.training.train_step import (create_train_state,
+                                               make_train_step)
+
+    cfg = craft_config(mixed_precision=False)
+    state, tx, _ = create_train_state(cfg, jax.random.PRNGKey(0),
+                                      image_shape=(64, 64), lr=1e-3,
+                                      num_steps=50)
+    step = jax.jit(make_train_step(cfg, tx, iters=1, attn_diag=True))
+    batch = _tiny_batch(rng)
+    _, metrics = step(state, batch, jax.random.PRNGKey(1))
+    for key in ("attn_max", "attn_clamp_frac", "attn_avg_abs"):
+        assert key in metrics, sorted(metrics)
+        assert np.isfinite(float(metrics[key])), (key, metrics[key])
+    assert 0.0 <= float(metrics["attn_clamp_frac"]) <= 1.0
+
+    # The plain step must NOT carry the diagnostics keys (fast path).
+    plain = jax.jit(make_train_step(cfg, tx, iters=1))
+    _, metrics2 = plain(state, batch, jax.random.PRNGKey(1))
+    assert "attn_max" not in metrics2
