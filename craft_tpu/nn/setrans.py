@@ -48,13 +48,12 @@ def _as_dense_bias(pos_biases):
 def _pallas_allowed(cfg: "SETransSiteConfig", attention_mask) -> bool:
     """Single source of truth for whether a site may use Pallas kernels
     (shared by CrossAttFeatTrans branch selection and the module-level
-    availability probes, so the two can never drift — ADVICE r2)."""
-    from craft_tpu.parallel.sp import sp_context
-    if sp_context() is not None:
-        # Sequence-parallel traces use the XLA path: Pallas custom calls are
-        # opaque to GSPMD's partitioner, while the einsum/softmax graph
-        # shards cleanly over the token axis (parallel/sp.py).
-        return False
+    availability probes, so the two can never drift — ADVICE r2).
+
+    Under a sequence_parallel context the kernels run through the shard_map
+    wrappers (parallel/sequence_parallel.py); branches whose grid doesn't
+    divide the mesh axis fall back to the GSPMD-XLA path per-site
+    (sp_kernels_ok in CrossAttFeatTrans)."""
     mode = cfg.use_pallas
     if mode == "off" or attention_mask is not None:
         return False
@@ -67,7 +66,10 @@ def _fused_norm_conditions(cfg: "SETransSiteConfig", H8: int, W8: int,
     ALL must hold.  Used by both fused_norm_available() and the in-module
     check in CrossAttFeatTrans, so the condition sets are one set."""
     from craft_tpu.ops.pallas.mode_attention import _fused_norm_tiles
+    from craft_tpu.parallel.sp import sp_context
     return [
+        ("not sequence-parallel (the fused global-norm stats are "
+         "single-pass, not cross-shard)", sp_context() is None),
         ("deterministic (inference only)", deterministic),
         ("out_attn_scores_only site", cfg.out_attn_scores_only),
         ("multi-mode (num_modes > 1)", cfg.num_modes > 1),
@@ -408,12 +410,26 @@ class CrossAttFeatTrans(nn.Module):
                 if self._pallas_allowed(attention_mask):
                     pos_biases = pos_biases.dense()
                 structured = isinstance(pos_biases, SlidingBias)
+        # Sequence parallelism: the same kernels run row-sharded through the
+        # shard_map wrappers (parallel/sequence_parallel.py) when the token
+        # grid divides the mesh axis; otherwise the site falls back to the
+        # GSPMD-XLA path below (whose sp_shard constraints still shard it).
+        from craft_tpu.parallel.sp import sp_context
+        sp_ctx = sp_context()
+        if sp_ctx is not None:
+            n_sp = sp_ctx.mesh.shape[sp_ctx.axis]
+            sp_kernels_ok = deterministic and (
+                pos_biases.H % n_sp == 0 if structured else U1 % n_sp == 0)
+        else:
+            sp_kernels_ok = True
+        use_pallas = use_pallas and sp_kernels_ok
         # The scores-only (correlation) site applies no dropout (reference
         # setrans.py:544-550), so its Pallas forward is usable in TRAINING
         # too via a custom VJP (Pallas forward + XLA backward) when the
         # sliding bias is structured.
         scores_pallas = (self._pallas_allowed(attention_mask)
-                         and (deterministic or structured))
+                         and (deterministic or structured)
+                         and sp_kernels_ok)
         if scores_pallas and cfg.out_attn_scores_only and M > 1:
             from craft_tpu.ops.pallas.mode_attention import (
                 fused_agg_corr, fused_agg_corr_norm_mt, scores_global_max)
@@ -443,6 +459,32 @@ class CrossAttFeatTrans(nn.Module):
                     out_dtype=fused_norm_dtype, interpret=interp,
                     io_dtype=iodt)
                 return vol  # [B, U1, U2] normalized
+            if sp_ctx is not None:
+                # Row-sharded serving: same kernels via the shard_map
+                # wrappers; the clamp predicate pmax-es across shards.
+                from craft_tpu.parallel.sequence_parallel import (
+                    sp_fused_agg_corr, sp_fused_agg_corr_mt,
+                    sp_scores_global_max)
+                gmax = jax.lax.stop_gradient(sp_scores_global_max(
+                    sp_ctx.mesh, jax.lax.stop_gradient(q),
+                    jax.lax.stop_gradient(k), 1.0 / math.sqrt(md),
+                    axis=sp_ctx.axis, interpret=interp, io_dtype=iodt))
+                clip_val = jnp.where(gmax > cfg.attn_clip, cfg.attn_clip,
+                                     1e30)
+                if structured:
+                    vol = sp_fused_agg_corr_mt(
+                        sp_ctx.mesh, q, k, pos_biases.biases,
+                        (pos_biases.H, pos_biases.W), clip_val,
+                        cfg.pos_code_weight, agg_w, agg_b, axis=sp_ctx.axis,
+                        interpret=interp, io_dtype=iodt)
+                else:
+                    bias2d = None if pos_biases is None else \
+                        pos_biases.astype(jnp.float32)
+                    vol = sp_fused_agg_corr(
+                        sp_ctx.mesh, q, k, bias2d, clip_val,
+                        cfg.pos_code_weight, agg_w, agg_b, axis=sp_ctx.axis,
+                        interpret=interp, io_dtype=iodt)
+                return vol[:, None]  # [B, 1, U1, U2] row-sharded
             # Batched kernels: B rides the Pallas grid, no per-sample vmap.
             gmax = jax.lax.stop_gradient(scores_global_max(
                 jax.lax.stop_gradient(q), jax.lax.stop_gradient(k),
@@ -468,6 +510,39 @@ class CrossAttFeatTrans(nn.Module):
                 flash_mode_attention, flash_mode_attention_mt,
                 scores_global_max)
             iodt = self.dtype
+            if sp_ctx is not None:
+                from craft_tpu.parallel.sequence_parallel import (
+                    sp_flash_mode_attention, sp_flash_mode_attention_mt,
+                    sp_scores_global_max)
+                gmax = sp_scores_global_max(
+                    sp_ctx.mesh, q, k, 1.0 / math.sqrt(md),
+                    axis=sp_ctx.axis, interpret=interp, io_dtype=iodt)
+                clip_val = jnp.where(gmax > cfg.attn_clip, cfg.attn_clip,
+                                     1e30)
+                if structured:
+                    grid_hw = (pos_biases.H, pos_biases.W)
+
+                    def attention_fn(v4d):
+                        return sp_flash_mode_attention_mt(
+                            sp_ctx.mesh, q, k, v4d, pos_biases.biases,
+                            grid_hw, clip_val, cfg.pos_code_weight,
+                            axis=sp_ctx.axis, interpret=interp,
+                            io_dtype=iodt).astype(self.dtype)
+                else:
+                    bias2d = None if pos_biases is None else \
+                        pos_biases.astype(jnp.float32)
+
+                    def attention_fn(v4d):
+                        return sp_flash_mode_attention(
+                            sp_ctx.mesh, q, k, v4d, bias2d, clip_val,
+                            cfg.pos_code_weight, axis=sp_ctx.axis,
+                            interpret=interp,
+                            io_dtype=iodt).astype(self.dtype)
+
+                return ExpandedFeatTrans(cfg, dtype=self.dtype,
+                                         name="out_trans")(
+                    key_feat, None, deterministic=deterministic,
+                    attention_fn=attention_fn)
             gmax = scores_global_max(q, k, 1.0 / math.sqrt(md),
                                      interpret=interp, io_dtype=iodt)
             clip_val = jnp.where(gmax > cfg.attn_clip, cfg.attn_clip, 1e30)
@@ -502,6 +577,7 @@ class CrossAttFeatTrans(nn.Module):
         # golden/grad-parity claims stay on the reference path.
         train_probs_kernel = (
             not deterministic
+            and sp_ctx is None  # SP is a serving feature; train via XLA
             and not cfg.out_attn_scores_only
             and not cfg.ablate_multihead
             and jnp.dtype(self.dtype) == jnp.bfloat16
@@ -572,6 +648,32 @@ class CrossAttFeatTrans(nn.Module):
             from craft_tpu.ops.pallas.mode_attention import (
                 mode_softmax_probs_mt, scores_global_max)
             iodt = self.dtype
+            if sp_ctx is not None:
+                # Row-sharded materialized probs: softmax rows are complete
+                # within a shard (keys replicated), and the downstream
+                # probs@V einsum stays row-local under GSPMD.
+                from craft_tpu.parallel.sequence_parallel import (
+                    sp_mode_softmax_probs_mt, sp_scores_global_max)
+                gmax = sp_scores_global_max(
+                    sp_ctx.mesh, q, k, 1.0 / math.sqrt(md),
+                    axis=sp_ctx.axis, interpret=interp, io_dtype=iodt)
+                clip_val = jnp.where(gmax > cfg.attn_clip, cfg.attn_clip,
+                                     1e30)
+                if M > 1:
+                    LearnedSoftAggregate(1, keepdim=True, dtype=jnp.float32,
+                                         name="attn_softaggr").scalar_wb()
+                if cfg.quantize_probs:
+                    num, scales = sp_mode_softmax_probs_mt(
+                        sp_ctx.mesh, q, k, pos_biases.biases,
+                        (pos_biases.H, pos_biases.W), clip_val,
+                        cfg.pos_code_weight, axis=sp_ctx.axis,
+                        interpret=interp, io_dtype=iodt, quantized=True)
+                    return QuantizedProbs(num, scales)
+                return sp_mode_softmax_probs_mt(
+                    sp_ctx.mesh, q, k, pos_biases.biases,
+                    (pos_biases.H, pos_biases.W), clip_val,
+                    cfg.pos_code_weight, axis=sp_ctx.axis,
+                    out_dtype=self.dtype, interpret=interp, io_dtype=iodt)
             gmax = scores_global_max(q, k, 1.0 / math.sqrt(md),
                                      interpret=interp, io_dtype=iodt)
             clip_val = jnp.where(gmax > cfg.attn_clip, cfg.attn_clip, 1e30)

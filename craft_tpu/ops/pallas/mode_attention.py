@@ -668,8 +668,8 @@ def fused_agg_corr_norm_mt(q, k, biases, grid_hw, attn_clip, pos_w, agg_w,
 # stats phase (no writes), then writes normalized probs directly in the output
 # dtype — the [M, U, U] fp32 scores never exist.
 
-def _probs_kernel_mt(q_ref, kt_ref, m_ref, scal_ref, out_ref, mx_ref, l_ref,
-                     *, scale, nkv, rq, rk, w8, R, u2_valid):
+def _probs_kernel_mt(q_ref, kt_ref, m_ref, scal_ref, row0_ref, out_ref,
+                     mx_ref, l_ref, *, scale, nkv, rq, rk, w8, R, u2_valid):
     it = pl.program_id(1)
     ph = pl.program_id(2)
     kt = pl.program_id(3)
@@ -685,8 +685,10 @@ def _probs_kernel_mt(q_ref, kt_ref, m_ref, scal_ref, out_ref, mx_ref, l_ref,
         q_ref[0], kt_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
     s = jnp.clip(s, -clip_val, clip_val)
-    s = s + pos_w * _bias_tile_from_mtable(m_ref, it * rq, kt * rk, rq, rk,
-                                           w8, R)
+    # row0_ref: global W8-row offset of this shard's first query row
+    # (sequence parallelism); 0 for the full self-attention.
+    s = s + pos_w * _bias_tile_from_mtable(m_ref, row0_ref[0] + it * rq,
+                                           kt * rk, rq, rk, w8, R)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kt * (rk * w8)
     s = jnp.where(col < u2_valid, s, NEG_INF)
 
@@ -703,8 +705,8 @@ def _probs_kernel_mt(q_ref, kt_ref, m_ref, scal_ref, out_ref, mx_ref, l_ref,
         out_ref[0] = (jnp.exp(s - mx_ref[:]) / l_ref[:]).astype(out_ref.dtype)
 
 
-def _probs_kernel_mt_q(q_ref, kt_ref, m_ref, scal_ref, out_ref, sc_ref,
-                       mx_ref, l_ref, *, scale, nkv, rq, rk, w8, R,
+def _probs_kernel_mt_q(q_ref, kt_ref, m_ref, scal_ref, row0_ref, out_ref,
+                       sc_ref, mx_ref, l_ref, *, scale, nkv, rq, rk, w8, R,
                        u2_valid):
     """Quantized variant: writes round(exp(s - rowmax) * 127) as int8 plus
     the per-row dequant scale 1/(127 * l).  Every row's max exp is exactly
@@ -725,8 +727,8 @@ def _probs_kernel_mt_q(q_ref, kt_ref, m_ref, scal_ref, out_ref, sc_ref,
         q_ref[0], kt_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
     s = jnp.clip(s, -clip_val, clip_val)
-    s = s + pos_w * _bias_tile_from_mtable(m_ref, it * rq, kt * rk, rq, rk,
-                                           w8, R)
+    s = s + pos_w * _bias_tile_from_mtable(m_ref, row0_ref[0] + it * rq,
+                                           kt * rk, rq, rk, w8, R)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kt * (rk * w8)
     s = jnp.where(col < u2_valid, s, NEG_INF)
 
@@ -750,31 +752,38 @@ def _probs_kernel_mt_q(q_ref, kt_ref, m_ref, scal_ref, out_ref, sc_ref,
 
 def mode_softmax_probs_mt(q, k, biases, grid_hw, clip_val, pos_w,
                           out_dtype=jnp.bfloat16, interpret=False,
-                          io_dtype=jnp.float32, quantized=False):
+                          io_dtype=jnp.float32, quantized=False,
+                          q_row0=None):
     """probs[m] = softmax(clamp(scale q_m k_m^T) + pos_w * bias) without ever
     materializing fp32 scores.  Returns [M, U, U] in out_dtype.  Batched
     [B, M, ...] inputs fold B into the mode grid axis.
 
     quantized=True: returns (int8 [M, U, U] numerators round(exp*127),
     f32 [M, U, 1] per-row dequant scales 1/(127*l)) — probs = num * scale.
-    Halves the bytes the per-iteration aggregate streams from HBM."""
+    Halves the bytes the per-iteration aggregate streams from HBM.
+
+    q_row0: global W8-row offset of q's first row (traced int scalar) for
+    sequence-parallel shards where q is a row slice (U1 = U2 / n_shards,
+    shard-aligned to whole W8 rows); None/0 for the full self-attention."""
     (q, k), bm = _flatten_batch(q, k)
     M, U1, md = q.shape
     H8, W8 = grid_hw
     U2 = k.shape[1]
-    assert U1 == H8 * W8 and U2 == U1
+    assert U2 == H8 * W8 and U1 <= U2 and U1 % W8 == 0
+    H8q = U1 // W8  # query rows held locally (== H8 unless row-sharded)
     R = (biases.shape[0] - 1) // 2
     scale = 1.0 / (md ** 0.5)
     # Prefer tile sizes that divide U exactly: the [M, U, U] output then needs
     # no unpad slice (a 396 MB copy at Sintel size).  Fall back to the padded
     # tiling when no aligned divisor exists.
-    divs = [d for d in range(1, H8 + 1) if H8 % d == 0]
+    kdivs = [d for d in range(1, H8 + 1) if H8 % d == 0]
+    qdivs = [d for d in range(1, H8q + 1) if H8q % d == 0]
     # Wide-k split measured fastest (tq=128, tk=640 at Sintel: 5.4 vs 6.5 ms
     # for the narrow-k divisor split and ~5.4 for the padded 256x512 tiling
     # which additionally costs the 396 MB unpad copy downstream).
-    rk = max((d for d in divs if d * W8 <= 768 and (d * W8) % 128 == 0),
+    rk = max((d for d in kdivs if d * W8 <= 768 and (d * W8) % 128 == 0),
              default=None)
-    rq = max((d for d in divs if d * W8 <= 256 and (d * W8) % 8 == 0),
+    rq = max((d for d in qdivs if d * W8 <= 256 and (d * W8) % 8 == 0),
              default=None)
     if rq is None or rk is None:
         rq = max(1, 256 // W8)
@@ -796,6 +805,7 @@ def mode_softmax_probs_mt(q, k, biases, grid_hw, clip_val, pos_w,
         pl.BlockSpec((2 * R + 1, W8, W8), lambda m, i, p, j: (0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
     scratch = [
         pltpu.VMEM((tq, 1), jnp.float32),
@@ -804,7 +814,8 @@ def mode_softmax_probs_mt(q, k, biases, grid_hw, clip_val, pos_w,
     # clip_val and pos_w ride SMEM so they may be traced values (the
     # custom-vjp training path passes tracers; functools.partial would bake
     # a leaked tracer into the kernel closure).
-    args = (qp, ktp, mtable, jnp.asarray([clip_val, pos_w], jnp.float32))
+    args = (qp, ktp, mtable, jnp.asarray([clip_val, pos_w], jnp.float32),
+            jnp.asarray([0 if q_row0 is None else q_row0], jnp.int32))
 
     if quantized:
         out, scales = pl.pallas_call(

@@ -29,8 +29,73 @@ def _token_spec(ndim: int, axis: str):
     return P(*spec)
 
 
+def sp_scores_global_max(mesh: Mesh, q, k, scale, axis: str = "data",
+                         interpret: bool = False, io_dtype=None):
+    """Global max of scale * q @ k^T with q row-sharded over the mesh axis:
+    each shard computes its local blockwise max with the Pallas kernel, one
+    pmax over the axis replicates the global value (the conditional-clamp
+    predicate must see the max over ALL rows, reference setrans.py:520-529)."""
+    import jax.numpy as jnp
+
+    from craft_tpu.ops.pallas.mode_attention import scores_global_max
+
+    kwargs = {} if io_dtype is None else {"io_dtype": io_dtype}
+
+    def local(q_l, k_full):
+        m = scores_global_max(q_l, k_full, scale, interpret=interpret,
+                              **kwargs)
+        return jax.lax.pmax(jnp.asarray(m), axis)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(_token_spec(q.ndim, axis),
+                             P(*([None] * k.ndim))),
+                   out_specs=P(), check_vma=False)
+    return fn(q, k)
+
+
+def sp_mode_softmax_probs_mt(mesh: Mesh, q, k, biases, grid_hw, clip_val,
+                             pos_w, axis: str = "data", out_dtype=None,
+                             interpret: bool = False, io_dtype=None,
+                             quantized: bool = False):
+    """Row-sharded softmax probs with in-kernel block-Toeplitz bias assembly:
+    probs [(B,) M, U1, U2] sharded on U1.  Softmax rows are complete within a
+    shard (keys replicated), so no cross-shard renormalization is needed.
+    quantized=True additionally shards the per-row dequant scales."""
+    import jax.numpy as jnp
+
+    from craft_tpu.ops.pallas.mode_attention import mode_softmax_probs_mt
+
+    H8, W8 = grid_hw
+    n = mesh.shape[axis]
+    assert H8 % n == 0, (H8, n)
+    rows_per_shard = H8 // n
+    in_specs = (_token_spec(q.ndim, axis), P(*([None] * k.ndim)),
+                P(None, None))
+    kwargs = {}
+    if io_dtype is not None:
+        kwargs["io_dtype"] = io_dtype
+    if out_dtype is not None:
+        kwargs["out_dtype"] = out_dtype
+
+    def local(q_l, k_full, biases_full):
+        row0 = jax.lax.axis_index(axis).astype(jnp.int32) * rows_per_shard
+        return mode_softmax_probs_mt(q_l, k_full, biases_full, grid_hw,
+                                     clip_val, pos_w, interpret=interpret,
+                                     quantized=quantized, q_row0=row0,
+                                     **kwargs)
+
+    if quantized:
+        out_specs = (_token_spec(q.ndim, axis), _token_spec(q.ndim, axis))
+    else:
+        out_specs = _token_spec(q.ndim, axis)
+    fn = shard_map(local, mesh=mesh, in_specs=in_specs,
+                   out_specs=out_specs, check_vma=False)
+    return fn(q, k, biases)
+
+
 def sp_fused_agg_corr(mesh: Mesh, q, k, bias, clip_val, pos_w, agg_w, agg_b,
-                      axis: str = "data", interpret: bool = False):
+                      axis: str = "data", interpret: bool = False,
+                      io_dtype=None):
     """Row-sharded CRAFT correlation volume.
 
     q: [M, U1, md] or [B, M, U1, md] (U1 divisible by mesh axis size),
@@ -45,10 +110,12 @@ def sp_fused_agg_corr(mesh: Mesh, q, k, bias, clip_val, pos_w, agg_w, agg_b,
         in_specs = in_specs + (P(axis, None),)
     out_spec = P(axis, None) if q.ndim == 3 else P(None, axis, None)
 
+    kwargs = {} if io_dtype is None else {"io_dtype": io_dtype}
+
     def local(q_l, k_full, *maybe_bias):
         b_l = maybe_bias[0] if maybe_bias else None
         return fused_agg_corr(q_l, k_full, b_l, clip_val, pos_w, agg_w,
-                              agg_b, interpret=interpret)
+                              agg_b, interpret=interpret, **kwargs)
 
     fn = shard_map(local, mesh=mesh, in_specs=in_specs,
                    out_specs=out_spec, check_vma=False)
@@ -58,7 +125,7 @@ def sp_fused_agg_corr(mesh: Mesh, q, k, bias, clip_val, pos_w, agg_w, agg_b,
 
 def sp_fused_agg_corr_mt(mesh: Mesh, q, k, biases, grid_hw, clip_val, pos_w,
                          agg_w, agg_b, axis: str = "data",
-                         interpret: bool = False):
+                         interpret: bool = False, io_dtype=None):
     """Row-sharded correlation volume with IN-KERNEL block-Toeplitz bias
     assembly (no dense [U, U] bias anywhere): each shard passes its global
     W8-row offset to the kernel so the sliding bias lands on the right
@@ -76,11 +143,13 @@ def sp_fused_agg_corr_mt(mesh: Mesh, q, k, biases, grid_hw, clip_val, pos_w,
                 P(None, None))
     out_spec = P(axis, None) if q.ndim == 3 else P(None, axis, None)
 
+    kwargs = {} if io_dtype is None else {"io_dtype": io_dtype}
+
     def local(q_l, k_full, biases_full):
         row0 = jax.lax.axis_index(axis).astype(jnp.int32) * rows_per_shard
         return fused_agg_corr_mt(q_l, k_full, biases_full, grid_hw,
                                  clip_val, pos_w, agg_w, agg_b,
-                                 interpret=interpret, q_row0=row0)
+                                 interpret=interpret, q_row0=row0, **kwargs)
 
     fn = shard_map(local, mesh=mesh, in_specs=in_specs,
                    out_specs=out_spec, check_vma=False)
@@ -88,7 +157,8 @@ def sp_fused_agg_corr_mt(mesh: Mesh, q, k, biases, grid_hw, clip_val, pos_w,
 
 
 def sp_flash_mode_attention(mesh: Mesh, q, k, v, bias, clip_val, pos_w,
-                            axis: str = "data", interpret: bool = False):
+                            axis: str = "data", interpret: bool = False,
+                            io_dtype=None, out_dtype=None):
     """Row-sharded flash multi-mode attention: out [(B,) M, U1, F] sharded
     on U1.  Accepts [M, U, d] or batched [B, M, U, d] inputs."""
     from craft_tpu.ops.pallas.mode_attention import flash_mode_attention
@@ -99,10 +169,16 @@ def sp_flash_mode_attention(mesh: Mesh, q, k, v, bias, clip_val, pos_w,
     if has_bias:
         in_specs = in_specs + (P(axis, None),)
 
+    kwargs = {}
+    if io_dtype is not None:
+        kwargs["io_dtype"] = io_dtype
+    if out_dtype is not None:
+        kwargs["out_dtype"] = out_dtype
+
     def local(q_l, k_full, v_full, *maybe_bias):
         b_l = maybe_bias[0] if maybe_bias else None
         return flash_mode_attention(q_l, k_full, v_full, b_l, clip_val,
-                                    pos_w, interpret=interpret)
+                                    pos_w, interpret=interpret, **kwargs)
 
     fn = shard_map(local, mesh=mesh, in_specs=in_specs,
                    out_specs=_token_spec(q.ndim, axis), check_vma=False)
@@ -112,7 +188,8 @@ def sp_flash_mode_attention(mesh: Mesh, q, k, v, bias, clip_val, pos_w,
 
 def sp_flash_mode_attention_mt(mesh: Mesh, q, k, v, biases, grid_hw,
                                clip_val, pos_w, axis: str = "data",
-                               interpret: bool = False):
+                               interpret: bool = False, io_dtype=None,
+                               out_dtype=None):
     """Row-sharded flash attention with in-kernel block-Toeplitz bias
     assembly (the f2/intra sites' structured sliding bias).  q/k/v:
     [M, U, d] or [B, M, U, d]; biases: [2R+1, 2R+1]."""
@@ -127,11 +204,18 @@ def sp_flash_mode_attention_mt(mesh: Mesh, q, k, v, biases, grid_hw,
     in_specs = (_token_spec(q.ndim, axis), P(*([None] * k.ndim)),
                 P(*([None] * v.ndim)), P(None, None))
 
+    kwargs = {}
+    if io_dtype is not None:
+        kwargs["io_dtype"] = io_dtype
+    if out_dtype is not None:
+        kwargs["out_dtype"] = out_dtype
+
     def local(q_l, k_full, v_full, biases_full):
         row0 = jax.lax.axis_index(axis).astype(jnp.int32) * rows_per_shard
         return flash_mode_attention_mt(q_l, k_full, v_full, biases_full,
                                        grid_hw, clip_val, pos_w,
-                                       interpret=interpret, q_row0=row0)
+                                       interpret=interpret, q_row0=row0,
+                                       **kwargs)
 
     fn = shard_map(local, mesh=mesh, in_specs=in_specs,
                    out_specs=_token_spec(q.ndim, axis), check_vma=False)

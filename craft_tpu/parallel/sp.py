@@ -4,20 +4,24 @@ reference's half-resolution workaround (reference evaluate.py:211-220,
 1126-1130: VIPER/SlowFlow are downscaled 2x because the HW x HW volume
 does not fit one GPU).
 
-Design (idiomatic GSPMD, not a hand-rolled ring): the model runs under one
-jit over an n-device mesh; `sp_shard` places sharding constraints on every
-O(U^2) tensor — attention scores/probs, the correlation volume, and the
-pyramid levels — sharding the QUERY-token (row) axis.  XLA propagates the
-sharding through softmax / global layer-norm / pooling / windowed lookup
-(each query row owns its own window) and inserts the few small collectives
-(the layer-norm stats all-reduce, the all-gathers where row-sharded results
-re-enter replicated convs) over ICI.  Per-chip memory for the volume and
-score tensors drops by n, which is what gates >1080p inputs.
+Design (idiomatic GSPMD + shard_map, not a hand-rolled ring): the model
+runs under one jit over an n-device mesh.  The O(U^2) attention/correlation
+sites route through the SAME fused Pallas kernels as single-chip serving,
+row-sharded via the shard_map wrappers in parallel/sequence_parallel.py
+(each shard computes its W8-row block with the block-Toeplitz bias offset;
+the conditional-clamp predicate pmax-es across shards).  Everything else —
+convs, GRU scan, pyramid pooling, upsampling — is plain jnp under `sp_shard`
+constraints: XLA propagates the row sharding and inserts the few small
+collectives (layer-norm stats all-reduce, all-gathers where row-sharded
+results re-enter replicated convs) over ICI.  Per-chip memory for the
+volume and probs tensors drops by n, which is what gates >1080p inputs
+(tests/test_sequence_parallel.py::test_sp_big_frame_memory_claim).
 
 Activation with `sequence_parallel(mesh)` is a trace-time context: enter it
-around `model.apply` (inside or outside jit).  Pallas fast paths are
-disabled under it (custom calls are opaque to GSPMD's partitioner) — the
-XLA attention path is used, sharded.
+around `model.apply` (inside or outside jit).  Sites whose token grid does
+not divide the mesh axis (H8 % n != 0) fall back to the sharded XLA
+attention path for that trace (sp_kernels_ok in setrans); pad inputs to
+H8 % n == 0 — e.g. mod-(8*n) spatial padding — to keep the kernel path.
 """
 
 from __future__ import annotations
@@ -42,8 +46,17 @@ def sp_context() -> Optional[SPContext]:
 
 
 @contextmanager
-def sequence_parallel(mesh: Mesh, axis: str = "seq"):
-    """Enable token-axis sharding constraints for model traces inside."""
+def sequence_parallel(mesh: Mesh, axis: Optional[str] = None):
+    """Enable token-axis sharding constraints for model traces inside.
+
+    axis defaults to the mesh's only axis name (a single-axis mesh); pass it
+    explicitly for multi-axis meshes."""
+    if axis is None:
+        if len(mesh.axis_names) != 1:
+            raise ValueError(
+                f"sequence_parallel needs an explicit axis for a multi-axis "
+                f"mesh {mesh.axis_names}")
+        axis = mesh.axis_names[0]
     prev = sp_context()
     _state.ctx = SPContext(mesh, axis)
     try:
