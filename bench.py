@@ -50,6 +50,12 @@ def main(profile: bool = False,
 
     @jax.jit
     def forward(variables, a, b):
+        # upsample_mode='all' despite only flows[-1] being consumed:
+        # 'final' (which drops the dead per-iteration upsample work at
+        # trace time) measured SLOWER on the chip — 21.2-21.4 vs 22.8-22.9
+        # fps, two same-session A/Bs of 4 reps each — the in-scan upsample
+        # overlaps with the rest of the iteration while the post-scan one
+        # serializes.  See BENCH_NOTES "upsample_mode".
         lowres, flows = model.apply(variables, a, b, iters=12)
         return flows[-1]
 

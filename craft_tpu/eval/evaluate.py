@@ -65,7 +65,10 @@ class Evaluator:
             # test_mode=1 needs only the final field: never ship the full
             # [iters, B, H, W, 2] stack to the host (43 MB/pair at Sintel
             # size through the remote-dispatch tunnel — was 10x the eval
-            # wall-time).
+            # wall-time).  upsample_mode='final' (which also removes the
+            # per-iteration upsample compute) measured SLOWER on the chip
+            # (21.2-21.4 vs 22.8-22.9 fps; BENCH_NOTES "upsample_mode"), so
+            # the in-jit slice stays the mechanism.
             return lowres, (flows[-1:] if test_mode == 1 else flows)
 
         self._forward = _forward

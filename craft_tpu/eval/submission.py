@@ -38,8 +38,11 @@ class _InitEvaluator(Evaluator):
 
         @functools.partial(jax.jit, static_argnames=("iters",))
         def _forward(variables, image1, image2, flow_init, iters):
-            return model.apply(variables, image1, image2, iters=iters,
-                               flow_init=flow_init)
+            lowres, flows = model.apply(variables, image1, image2, iters=iters,
+                                        flow_init=flow_init)
+            # Final field only (warm-start submissions); in-jit slice rather
+            # than upsample_mode='final' — see Evaluator._forward.
+            return lowres, flows[-1:]
 
         self._forward_init = _forward
 

@@ -104,10 +104,20 @@ class FlowModel(nn.Module):
 
     @nn.compact
     def __call__(self, image1, image2, iters: Optional[int] = None,
-                 flow_init=None):
+                 flow_init=None, upsample_mode: str = "all"):
         """Estimate flow.  image1/image2: [B, H, W, 3] floats in [0, 255].
 
         Returns (flow_lowres [B,H/8,W/8,2], flows_up [iters,B,H,W,2]).
+
+        upsample_mode: 'all' (default — one upsampled field per iteration,
+        required for the training loss and test_mode=2) or 'final' — only the
+        last iteration runs the upsample-mask head + convex upsampling, so
+        flows_up is [1,B,H,W,2].  The reference computes every iteration's
+        mask/upsample even in test mode (network.py:234-246, torch eager);
+        under jit the dead per-iteration work is instead removed at trace
+        time — the final field is identical up to XLA fusion reassociation
+        (<=1e-5 px, tests/test_upsample_mode.py).  Param tree unchanged
+        ('final' calls the same FlowHead/UpsampleMaskHead submodules).
         """
         cfg = self.cfg
         iters = iters or cfg.iters
@@ -248,11 +258,16 @@ class FlowModel(nn.Module):
         # step (~25% of the in-loop GRU MACs; see nn/update.py docstring).
         gru_static = update_block.precompute_gru_static(inp.astype(cdt))
 
+        final_only = upsample_mode == "final"
+
         def step(mdl, carry, _):
             net, coords1 = carry
             coords1 = jax.lax.stop_gradient(coords1)
             corr = corr_lookup(pyramid, coords1)
             flow = coords1 - coords0
+            # NOTE: the mask head stays in the body even under 'final':
+            # its conv1 is merged with FlowHead's (_merged_heads), and the
+            # then-unused mask outputs are DCE'd by XLA.
             if cfg.arch == "craft":
                 net, up_mask, delta = update_block(
                     net, inp, corr.astype(cdt), flow.astype(cdt), attention,
@@ -262,6 +277,8 @@ class FlowModel(nn.Module):
                     net, inp, corr.astype(cdt), flow.astype(cdt),
                     gru_static=gru_static)
             coords1 = coords1 + delta.astype(jnp.float32)
+            if final_only:
+                return (net, coords1), None
             flow_up = convex_upsample((coords1 - coords0),
                                       up_mask.astype(jnp.float32))
             return (net, coords1), flow_up
@@ -270,6 +287,12 @@ class FlowModel(nn.Module):
                        split_rngs={"params": False, "dropout": False},
                        length=iters, unroll=cfg.scan_unroll)
         (net, coords1), flows_up = scan(self, (net, coords1), None)
+
+        if final_only:
+            up_mask = update_block.upsample_mask(net)
+            flow_up = convex_upsample((coords1 - coords0),
+                                      up_mask.astype(jnp.float32))
+            flows_up = flow_up[None]
 
         return coords1 - coords0, flows_up
 

@@ -289,6 +289,12 @@ class BasicUpdateBlock(nn.Module):
     def precompute_gru_static(self, inp):
         return self.gru.static_contrib(inp, dyn_channels=128)
 
+    def upsample_mask(self, net):
+        """Mask head alone — used by the eval-only final-iteration upsample
+        (the per-iteration masks of test_mode=1 are dead work; see
+        FlowModel.upsample_mode).  Same params as the merged path."""
+        return self.mask(net.astype(self.dtype))
+
     def __call__(self, net, inp, corr, flow, gru_static=None):
         motion = self.encoder(flow, corr)
         if gru_static is None:
@@ -330,6 +336,10 @@ class GMAUpdateBlock(nn.Module):
 
     def precompute_gru_static(self, inp):
         return self.gru.static_contrib(inp, dyn_channels=256)
+
+    def upsample_mask(self, net):
+        """Mask head alone (see BasicUpdateBlock.upsample_mask)."""
+        return self.mask(net.astype(self.dtype))
 
     def __call__(self, net, inp, corr, flow, attention, gru_static=None):
         motion = self.encoder(flow, corr)
