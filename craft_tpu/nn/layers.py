@@ -147,6 +147,7 @@ class InstanceNorm(nn.Module):
 
     epsilon: float = 1e-5
     dtype: Any = jnp.float32
+    stats: str = "dot"  # 'dot' (MXU moments, layout-neutral) | 'mean'
 
     @nn.compact
     def __call__(self, x):
@@ -157,9 +158,33 @@ class InstanceNorm(nn.Module):
         # fnet at Sintel size).  The difference form loses ~1e-7 relative
         # on fp32 inputs (activations are O(1) here) and nothing on bf16
         # inputs, whose storage already rounds at 2^-8.
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
-        mean_sq = jnp.mean(jax.lax.square(x), axis=(1, 2), keepdims=True,
-                           dtype=jnp.float32)
+        B, H, W, C = x.shape
+        if self.stats == "dot":
+            # Moments as dots so the big operand keeps the producing conv's
+            # layout: a plain reduce made XLA assign the convert/reduce
+            # operand its own layout and relayout-copy the full activation
+            # around every fnet norm (527 MB f32/forward at Sintel size,
+            # HLO copy.921 family).  sum(x) contracts against ones; sum(x^2)
+            # is a per-(B,C) self-contraction — no x^2 temporary.
+            x3 = x.reshape(B, H * W, C)
+            ones = jnp.ones((H * W,), x.dtype)
+            s1 = jax.lax.dot_general(
+                ones, x3, dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [B, C]
+            # x^2 materializes in x.dtype (same rounding as the 'mean'
+            # path, whose lax.square is also computed in x.dtype) — a
+            # ~29 MB bf16 temporary at Sintel size vs the 527 MB fp32
+            # relayout the reduce form cost.
+            s2 = jax.lax.dot_general(
+                ones, jax.lax.square(x3),
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [B, C]
+            mean = (s1 / (H * W)).reshape(B, 1, 1, C)
+            mean_sq = (s2 / (H * W)).reshape(B, 1, 1, C)
+        else:
+            mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+            mean_sq = jnp.mean(jax.lax.square(x), axis=(1, 2), keepdims=True,
+                               dtype=jnp.float32)
         var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
         scale = jax.lax.rsqrt(var + self.epsilon)
         y = (x - mean.astype(x.dtype)) * scale.astype(x.dtype)

@@ -41,3 +41,15 @@ _ = float(np.asarray(metrics["loss"]))
 dt = (time.perf_counter() - t0) / n
 print(f"train step: {dt * 1000:.1f} ms  ({1 / dt:.2f} steps/s, "
       f"batch {B} @ {H}x{W})")
+
+if "--profile" in sys.argv:
+    trace_dir = "/tmp/craft_tpu_train_trace"
+    with jax.profiler.trace(trace_dir):
+        for _ in range(3):
+            state, metrics = step(state, batch, key)
+        _ = float(np.asarray(metrics["loss"]))
+    sys.path.insert(0, "/root/repo/tools")
+    from parse_trace import top_op_families
+    print(f"# trace: {trace_dir} (3 runs)")
+    for name, ms in top_op_families(trace_dir, n_runs=3)[:15]:
+        print(f"# {ms:>9.3f} ms  {name}")
