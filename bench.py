@@ -50,14 +50,17 @@ def main(profile: bool = False,
 
     @jax.jit
     def forward(variables, a, b):
-        # upsample_mode='all' despite only flows[-1] being consumed:
-        # 'final' (which drops the dead per-iteration upsample work at
-        # trace time) measured SLOWER on the chip — 21.2-21.4 vs 22.8-22.9
-        # fps, two same-session A/Bs of 4 reps each — the in-scan upsample
-        # overlaps with the rest of the iteration while the post-scan one
-        # serializes.  See BENCH_NOTES "upsample_mode".
-        lowres, flows = model.apply(variables, a, b, iters=12)
-        return flows[-1]
+        # upsample_mode='packed', final frame unpacked in-jit.  'all' keeps
+        # the per-iteration 6-D pixel shuffle in the scan (minor-dim-2
+        # relayout copies); 'final' (post-scan upsample) measured SLOWER —
+        # 21.2-21.4 vs 22.8-22.9 fps — because the in-scan upsample overlaps
+        # with the iteration's other work.  'packed' keeps the overlap and
+        # drops only the shuffle; values are bitwise 'all'.  See BENCH_NOTES
+        # "upsample_mode".
+        from craft_tpu.ops.geometry import unpack_upsampled
+        lowres, flows = model.apply(variables, a, b, iters=12,
+                                    upsample_mode="packed")
+        return unpack_upsampled(flows[-1])
 
     # Warmup / compile.  Force a device->host transfer to ensure completion —
     # block_until_ready alone can return early through the axon tunnel.

@@ -61,15 +61,25 @@ class Evaluator:
 
         @functools.partial(jax.jit, static_argnames=("iters", "test_mode"))
         def _forward(variables, image1, image2, iters, test_mode):
-            lowres, flows = model.apply(variables, image1, image2, iters=iters)
             # test_mode=1 needs only the final field: never ship the full
             # [iters, B, H, W, 2] stack to the host (43 MB/pair at Sintel
             # size through the remote-dispatch tunnel — was 10x the eval
             # wall-time).  upsample_mode='final' (which also removes the
             # per-iteration upsample compute) measured SLOWER on the chip
-            # (21.2-21.4 vs 22.8-22.9 fps; BENCH_NOTES "upsample_mode"), so
-            # the in-jit slice stays the mechanism.
-            return lowres, (flows[-1:] if test_mode == 1 else flows)
+            # (21.2-21.4 vs 22.8-22.9 fps; BENCH_NOTES "upsample_mode") —
+            # the in-scan upsample overlaps while a post-scan one
+            # serializes.  'packed' keeps the in-scan upsample (overlap
+            # preserved, values bitwise 'all') but skips the per-iteration
+            # pixel shuffle; only the final frame is unpacked.
+            if test_mode == 1:
+                from craft_tpu.ops.geometry import unpack_upsampled
+                lowres, flows = model.apply(variables, image1, image2,
+                                            iters=iters,
+                                            upsample_mode="packed")
+                return lowres, unpack_upsampled(flows[-1])[None]
+            lowres, flows = model.apply(variables, image1, image2,
+                                        iters=iters)
+            return lowres, flows
 
         self._forward = _forward
 

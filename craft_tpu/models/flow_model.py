@@ -32,7 +32,8 @@ from craft_tpu.nn.setrans import (CrossAttFeatTrans, InputFeatEncoder,
 from craft_tpu.nn.update import BasicUpdateBlock, GMAUpdateBlock
 from craft_tpu.ops.corr import (build_pyramid, corr_lookup,
                                 plain_corr_pyramid, pyramid_from_level0)
-from craft_tpu.ops.geometry import convex_upsample, coords_grid
+from craft_tpu.ops.geometry import (convex_upsample, convex_upsample_packed,
+                                    coords_grid)
 
 
 class TransCorr(nn.Module):
@@ -118,6 +119,13 @@ class FlowModel(nn.Module):
         time — the final field is identical up to XLA fusion reassociation
         (<=1e-5 px, tests/test_upsample_mode.py).  Param tree unchanged
         ('final' calls the same FlowHead/UpsampleMaskHead submodules).
+
+        'packed': same per-iteration math as 'all' but flows_up is the
+        lane-aligned [iters,B,H/8,W/8,128] form (convex_upsample_packed —
+        bitwise the 'all' values, without the in-scan 6-D pixel shuffle whose
+        minor-dim-2 relayout copies cost ~1.5-2 ms each on TPU tiles).  The
+        training loss consumes it directly (sequence_loss_packed); eval
+        unpacks the final frame with geometry.unpack_upsampled.
         """
         cfg = self.cfg
         iters = iters or cfg.iters
@@ -259,6 +267,7 @@ class FlowModel(nn.Module):
         gru_static = update_block.precompute_gru_static(inp.astype(cdt))
 
         final_only = upsample_mode == "final"
+        packed = upsample_mode == "packed"
 
         def step(mdl, carry, _):
             net, coords1 = carry
@@ -279,8 +288,8 @@ class FlowModel(nn.Module):
             coords1 = coords1 + delta.astype(jnp.float32)
             if final_only:
                 return (net, coords1), None
-            flow_up = convex_upsample((coords1 - coords0),
-                                      up_mask.astype(jnp.float32))
+            up_fn = convex_upsample_packed if packed else convex_upsample
+            flow_up = up_fn((coords1 - coords0), up_mask.astype(jnp.float32))
             return (net, coords1), flow_up
 
         scan = nn.scan(step, variable_broadcast="params",

@@ -103,17 +103,10 @@ def downflow(flow: jnp.ndarray, factor: int = 8) -> jnp.ndarray:
     return _interpolate_bilinear_ac(flow, (H // factor, W // factor)) / factor
 
 
-def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray, factor: int = 8) -> jnp.ndarray:
-    """Convex 9-neighbour upsampling (reference network.py:151-162).
-
-    Args:
-      flow: [B, H, W, 2] 1/8-resolution flow.
-      mask: [B, H, W, 9*factor*factor] logits, channel layout (9, factor, factor)
-            row-major to match the torch ``view(N, 1, 9, 8, 8, H, W)`` split of the
-            576-channel conv output.
-    Returns:
-      [B, factor*H, factor*W, 2].
-    """
+def _convex_parts(flow: jnp.ndarray, mask: jnp.ndarray, factor: int):
+    """Shared convex-combination core: per-component upsampled sub-pixel
+    blocks ux, uy [B, H, W, factor*factor] (row-major (fr, fc) channel
+    order)."""
     B, H, W, _ = flow.shape
     f2 = factor * factor
     # TPU layout note: everything below is elementwise on [B, H, W, f2]
@@ -138,10 +131,61 @@ def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray, factor: int = 8) -> jn
         n = fp[:, di:di + H, dj:dj + W, :]  # [B, H, W, 2]
         accx = accx + e * n[..., 0:1]
         accy = accy + e * n[..., 1:2]
-    up = jnp.stack([accx / denom, accy / denom], axis=-1)
+    return accx / denom, accy / denom
+
+
+def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray, factor: int = 8) -> jnp.ndarray:
+    """Convex 9-neighbour upsampling (reference network.py:151-162).
+
+    Args:
+      flow: [B, H, W, 2] 1/8-resolution flow.
+      mask: [B, H, W, 9*factor*factor] logits, channel layout (9, factor, factor)
+            row-major to match the torch ``view(N, 1, 9, 8, 8, H, W)`` split of the
+            576-channel conv output.
+    Returns:
+      [B, factor*H, factor*W, 2].
+    """
+    B, H, W, _ = flow.shape
+    ux, uy = _convex_parts(flow, mask, factor)
+    up = jnp.stack([ux, uy], axis=-1)
     up = up.reshape(B, H, W, factor, factor, 2)
     up = up.transpose(0, 1, 3, 2, 4, 5)  # [B, H, fr, W, fc, 2]
     return up.reshape(B, factor * H, factor * W, 2)
+
+
+def convex_upsample_packed(flow: jnp.ndarray, mask: jnp.ndarray,
+                           factor: int = 8) -> jnp.ndarray:
+    """convex_upsample without the pixel shuffle: [B, H, W, 2*factor^2] with
+    the x sub-pixel block (row-major (fr, fc)) in channels [:f2] and y in
+    [f2:].  Values are bitwise those of convex_upsample, just laid out
+    lane-aligned — the 6-D shuffle with a minor dim of 2 forced several
+    tile-padded relayout copies per refinement iteration on TPU (~64x lane
+    waste on (8, 128) tiles).  Use unpack_upsampled / pack helpers to cross
+    between layouts; the training loss consumes this form directly."""
+    ux, uy = _convex_parts(flow, mask, factor)
+    return jnp.concatenate([ux, uy], axis=-1)
+
+
+def unpack_upsampled(packed: jnp.ndarray, factor: int = 8) -> jnp.ndarray:
+    """[B, H, W, 2*factor^2] packed flow -> [B, factor*H, factor*W, 2]."""
+    B, H, W, c2 = packed.shape
+    f2 = c2 // 2
+    assert f2 == factor * factor
+    up = jnp.stack([packed[..., :f2], packed[..., f2:]], axis=-1)
+    up = up.reshape(B, H, W, factor, factor, 2)
+    up = up.transpose(0, 1, 3, 2, 4, 5)
+    return up.reshape(B, factor * H, factor * W, 2)
+
+
+def pack_fullres(x: jnp.ndarray, factor: int = 8) -> jnp.ndarray:
+    """Inverse of unpack_upsampled for ground truth: [B, fH, fW, C] ->
+    [B, H, W, C*factor^2] with each channel's (fr, fc) block contiguous
+    (channel-major: all of channel 0's f2 slots, then channel 1's)."""
+    B, FH, FW, C = x.shape
+    H, W = FH // factor, FW // factor
+    x = x.reshape(B, H, factor, W, factor, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # [B, H, W, C, fr, fc]
+    return x.reshape(B, H, W, C * factor * factor)
 
 
 def avg_pool2x2(x: jnp.ndarray) -> jnp.ndarray:

@@ -19,7 +19,7 @@ from flax.core import FrozenDict
 
 from craft_tpu.config import ModelConfig
 from craft_tpu.models.flow_model import FlowModel
-from craft_tpu.training.loss import sequence_loss
+from craft_tpu.training.loss import sequence_loss_packed
 from craft_tpu.training.optim import make_optimizer
 
 
@@ -92,20 +92,26 @@ def make_train_step(cfg: ModelConfig, tx, iters: int = 12, gamma: float = 0.8,
                 mutable = ["batch_stats"]
         if attn_diag:
             mutable = mutable + ["diagnostics"]
+        # upsample_mode='packed': the per-iteration predictions stay in the
+        # lane-aligned [iters, B, H/8, W/8, 128] layout through the scan
+        # (bitwise the 'all' values) and the loss packs the ground truth
+        # once instead — see sequence_loss_packed.
         if mutable:
             (lowres, flows), updates = model.apply(
                 variables, batch["image1"], batch["image2"], iters=iters,
-                rngs={"dropout": rng}, mutable=mutable)
+                upsample_mode="packed", rngs={"dropout": rng},
+                mutable=mutable)
             new_stats = updates.get("batch_stats", batch_stats)
             diag = updates.get("diagnostics", {})
         else:
             lowres, flows = model.apply(
                 variables, batch["image1"], batch["image2"], iters=iters,
-                rngs={"dropout": rng})
+                upsample_mode="packed", rngs={"dropout": rng})
             new_stats = batch_stats
             diag = {}
-        loss, metrics = sequence_loss(flows.astype(jnp.float32),
-                                      batch["flow"], batch["valid"], gamma)
+        loss, metrics = sequence_loss_packed(flows.astype(jnp.float32),
+                                             batch["flow"], batch["valid"],
+                                             gamma)
         if diag:
             metrics = dict(metrics, **_summarize_attn_diag(diag))
         return loss, (metrics, new_stats)
