@@ -50,17 +50,19 @@ def main(profile: bool = False,
 
     @jax.jit
     def forward(variables, a, b):
-        # upsample_mode='packed', final frame unpacked in-jit.  'all' keeps
-        # the per-iteration 6-D pixel shuffle in the scan (minor-dim-2
-        # relayout copies); 'final' (post-scan upsample) measured SLOWER —
-        # 21.2-21.4 vs 22.8-22.9 fps — because the in-scan upsample overlaps
-        # with the iteration's other work.  'packed' keeps the overlap and
-        # drops only the shuffle; values are bitwise 'all'.  See BENCH_NOTES
-        # "upsample_mode".
+        # upsample_mode comes from the config (default 'all').  The round-5
+        # interleaved same-session A/B (tools/bench_ab_upsample.py) measured
+        # 'all' 23.49 fps vs 'packed' 20.90 — the r4 headline drop was the
+        # unmeasured packed switch, now reverted.  'final' also measured
+        # slower (21.2-21.4): the in-scan upsample overlaps with the
+        # iteration's other work.  See BENCH_NOTES "round 5".
         from craft_tpu.ops.geometry import unpack_upsampled
         lowres, flows = model.apply(variables, a, b, iters=12,
-                                    upsample_mode="packed")
-        return unpack_upsampled(flows[-1])
+                                    upsample_mode=cfg.upsample_mode)
+        out = flows[-1]
+        if cfg.upsample_mode == "packed":
+            out = unpack_upsampled(out)
+        return out
 
     # Warmup / compile.  Force a device->host transfer to ensure completion —
     # block_until_ready alone can return early through the axon tunnel.

@@ -47,6 +47,11 @@ def add_model_args(p: argparse.ArgumentParser):
                    choices=["lsinu", "bias"], default="bias")
     p.add_argument("--intraposw", dest="intra_pos_code_weight", type=float,
                    default=1.0)
+    p.add_argument("--upsample_mode", type=str,
+                   choices=["all", "packed", "final"], default="all",
+                   help="convex-upsample output layout (value-identical; "
+                        "'all' measured fastest on TPU serving — BENCH_NOTES "
+                        "round 5; 'final' saves 200+ MB on big SP frames)")
 
 
 def model_config_from_args(args) -> ModelConfig:
@@ -101,4 +106,5 @@ def model_config_from_args(args) -> ModelConfig:
         position_only=args.position_only,
         position_and_content=args.position_and_content,
         inter=inter, f2=f2, intra=intra, dropout=args.dropout,
-        mixed_precision=args.mixed_precision)
+        mixed_precision=args.mixed_precision,
+        upsample_mode=getattr(args, "upsample_mode", "all"))

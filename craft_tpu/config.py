@@ -184,6 +184,15 @@ class ModelConfig:
     # trades ~260 MB/site (chairs crops) for skipping the full site
     # recompute in the backward pass.
     remat_att_sites: bool = True
+    # Layout of the per-iteration convex-upsampled flows: 'all' (one
+    # [B, 8H, 8W, 2] field per iteration — reference semantics), 'packed'
+    # (keep the [B, H, W, 128] pixel-shuffle-free layout; unpack at the
+    # consumer), 'final' (upsample only after the scan; saves 200+ MB on
+    # 1088x1920 SP frames).  All three are value-identical
+    # (tests/test_upsample_mode.py).  Serving default 'all': the round-5
+    # same-session interleaved A/B measured 23.49 fps ('all') vs 20.90
+    # ('packed') at 436x1024 — BENCH_NOTES "round 5: packed vs all".
+    upsample_mode: str = "all"
 
     @property
     def corr_multiplier(self) -> int:

@@ -64,19 +64,18 @@ class Evaluator:
             # test_mode=1 needs only the final field: never ship the full
             # [iters, B, H, W, 2] stack to the host (43 MB/pair at Sintel
             # size through the remote-dispatch tunnel — was 10x the eval
-            # wall-time).  upsample_mode='final' (which also removes the
-            # per-iteration upsample compute) measured SLOWER on the chip
-            # (21.2-21.4 vs 22.8-22.9 fps; BENCH_NOTES "upsample_mode") —
-            # the in-scan upsample overlaps while a post-scan one
-            # serializes.  'packed' keeps the in-scan upsample (overlap
-            # preserved, values bitwise 'all') but skips the per-iteration
-            # pixel shuffle; only the final frame is unpacked.
+            # wall-time).  upsample_mode follows cfg (default 'all': the
+            # round-5 interleaved A/B measured 23.49 fps vs 20.90 'packed'
+            # and 21.2-21.4 'final'; BENCH_NOTES "round 5").
             if test_mode == 1:
                 from craft_tpu.ops.geometry import unpack_upsampled
+                mode = cfg.upsample_mode
                 lowres, flows = model.apply(variables, image1, image2,
-                                            iters=iters,
-                                            upsample_mode="packed")
-                return lowres, unpack_upsampled(flows[-1])[None]
+                                            iters=iters, upsample_mode=mode)
+                out = flows[-1]
+                if mode == "packed":
+                    out = unpack_upsampled(out)
+                return lowres, out[None]
             lowres, flows = model.apply(variables, image1, image2,
                                         iters=iters)
             return lowres, flows

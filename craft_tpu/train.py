@@ -122,8 +122,13 @@ def main(argv=None):
         if logger_state:
             logger.load_state_dict(logger_state)
 
+    # Training supports 'all'/'packed' only ('final' is a serving/SP memory
+    # knob); map it to 'packed', the closest training layout.
+    train_upsample = cfg.upsample_mode if cfg.upsample_mode != "final" \
+        else "packed"
     train_step = make_train_step(cfg, tx, iters=args.iters, gamma=args.gamma,
-                                 freeze_bn=freeze_bn)
+                                 freeze_bn=freeze_bn,
+                                 upsample_mode=train_upsample)
     from craft_tpu.utils.jax_setup import train_compiler_options
     train_step = jax.jit(train_step, donate_argnums=(0,),
                          compiler_options=train_compiler_options())
@@ -134,7 +139,8 @@ def main(argv=None):
         # fused-kernel step keeps doing the bulk of the work.
         diag_step = make_train_step(cfg, tx, iters=args.iters,
                                     gamma=args.gamma, freeze_bn=freeze_bn,
-                                    attn_diag=True)
+                                    attn_diag=True,
+                                    upsample_mode=train_upsample)
         diag_step = jax.jit(diag_step, donate_argnums=(0,),
                             compiler_options=train_compiler_options())
 

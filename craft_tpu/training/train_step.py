@@ -19,7 +19,7 @@ from flax.core import FrozenDict
 
 from craft_tpu.config import ModelConfig
 from craft_tpu.models.flow_model import FlowModel
-from craft_tpu.training.loss import sequence_loss_packed
+from craft_tpu.training.loss import sequence_loss, sequence_loss_packed
 from craft_tpu.training.optim import make_optimizer
 
 
@@ -72,7 +72,8 @@ def _summarize_attn_diag(diag) -> Dict[str, jnp.ndarray]:
 
 
 def make_train_step(cfg: ModelConfig, tx, iters: int = 12, gamma: float = 0.8,
-                    freeze_bn: bool = False, attn_diag: bool = False):
+                    freeze_bn: bool = False, attn_diag: bool = False,
+                    upsample_mode: str = None):
     """Build the jittable train step fn(state, batch, rng) -> (state, metrics).
 
     batch: dict(image1 [B,H,W,3], image2, flow [B,H,W,2], valid [B,H,W]).
@@ -80,8 +81,19 @@ def make_train_step(cfg: ModelConfig, tx, iters: int = 12, gamma: float = 0.8,
     attention-health telemetry into metrics.  This forces the XLA attention
     path (the fused probs kernel never materializes scores), so the trainer
     compiles it as a *second* step used every print_freq-th iteration.
+    upsample_mode: 'all' or 'packed' (value-identical; 'packed' keeps the
+    per-iteration predictions in the lane-aligned [iters, B, H/8, W/8, 128]
+    layout through the scan and packs the ground truth once in the loss —
+    sequence_loss_packed).  None -> cfg.upsample_mode.
     """
     model = FlowModel(cfg=cfg, train=True, freeze_bn=freeze_bn)
+    if upsample_mode is None:
+        upsample_mode = cfg.upsample_mode
+    if upsample_mode not in ("all", "packed"):
+        raise ValueError(f"train upsample_mode must be 'all' or 'packed', "
+                         f"got {upsample_mode!r}")
+    loss_impl = (sequence_loss_packed if upsample_mode == "packed"
+                 else sequence_loss)
 
     def loss_fn(params, batch_stats, batch, rng):
         variables = {"params": params}
@@ -92,26 +104,21 @@ def make_train_step(cfg: ModelConfig, tx, iters: int = 12, gamma: float = 0.8,
                 mutable = ["batch_stats"]
         if attn_diag:
             mutable = mutable + ["diagnostics"]
-        # upsample_mode='packed': the per-iteration predictions stay in the
-        # lane-aligned [iters, B, H/8, W/8, 128] layout through the scan
-        # (bitwise the 'all' values) and the loss packs the ground truth
-        # once instead — see sequence_loss_packed.
         if mutable:
             (lowres, flows), updates = model.apply(
                 variables, batch["image1"], batch["image2"], iters=iters,
-                upsample_mode="packed", rngs={"dropout": rng},
+                upsample_mode=upsample_mode, rngs={"dropout": rng},
                 mutable=mutable)
             new_stats = updates.get("batch_stats", batch_stats)
             diag = updates.get("diagnostics", {})
         else:
             lowres, flows = model.apply(
                 variables, batch["image1"], batch["image2"], iters=iters,
-                upsample_mode="packed", rngs={"dropout": rng})
+                upsample_mode=upsample_mode, rngs={"dropout": rng})
             new_stats = batch_stats
             diag = {}
-        loss, metrics = sequence_loss_packed(flows.astype(jnp.float32),
-                                             batch["flow"], batch["valid"],
-                                             gamma)
+        loss, metrics = loss_impl(flows.astype(jnp.float32),
+                                  batch["flow"], batch["valid"], gamma)
         if diag:
             metrics = dict(metrics, **_summarize_attn_diag(diag))
         return loss, (metrics, new_stats)

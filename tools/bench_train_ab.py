@@ -58,6 +58,11 @@ elif variant == "noremat":
     # probs_vjp path + store the bf16 probs instead of recomputing the
     # f2/intra sites in the backward pass.
     cfg = cfg.replace(remat_att_sites=False)
+elif variant in ("upall", "uppacked"):
+    # Round-5 A/B of the training-side upsample layout (the serving-side A/B
+    # picked 'all'; training also packs the GT in the loss, so it gets its
+    # own measurement).
+    cfg = cfg.replace(upsample_mode=variant[2:])
 state, tx, _ = create_train_state(cfg, jax.random.PRNGKey(0),
                                   image_shape=(H, W), lr=2.5e-4,
                                   num_steps=1000)
