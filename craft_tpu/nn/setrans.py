@@ -429,7 +429,12 @@ class CrossAttFeatTrans(nn.Module):
         # sliding bias is structured.
         scores_pallas = (self._pallas_allowed(attention_mask)
                          and (deterministic or structured)
-                         and sp_kernels_ok)
+                         and sp_kernels_ok
+                         # --attn_diag: the clamp telemetry (reference
+                         # setrans.py:520-536 prints) sows from the XLA
+                         # scores path; route this site there too when the
+                         # diagnostics collection is being collected.
+                         and not self.is_mutable_collection("diagnostics"))
         if scores_pallas and cfg.out_attn_scores_only and M > 1:
             from craft_tpu.ops.pallas.mode_attention import (
                 fused_agg_corr, fused_agg_corr_norm_mt, scores_global_max)
@@ -462,6 +467,8 @@ class CrossAttFeatTrans(nn.Module):
             if sp_ctx is not None:
                 # Row-sharded serving: same kernels via the shard_map
                 # wrappers; the clamp predicate pmax-es across shards.
+                from craft_tpu.ops.pallas.mode_attention import (
+                    mt_alignment_ok)
                 from craft_tpu.parallel.sequence_parallel import (
                     sp_fused_agg_corr, sp_fused_agg_corr_mt,
                     sp_scores_global_max)
@@ -471,6 +478,16 @@ class CrossAttFeatTrans(nn.Module):
                     axis=sp_ctx.axis, interpret=interp, io_dtype=iodt))
                 clip_val = jnp.where(gmax > cfg.attn_clip, cfg.attn_clip,
                                      1e30)
+                if structured and not (mt_alignment_ok(pos_biases.W)
+                                       or interp):
+                    # Mirror fused_agg_corr_diff's kernel selection: the
+                    # block-Toeplitz kernel tiles tk = rk*W8 which must be a
+                    # multiple of 128; common SP big-frame widths fail (e.g.
+                    # 1920 px -> W8=240 -> tk=480).  Densify the bias and
+                    # take the dense-bias kernel instead of a Mosaic
+                    # compile error.
+                    pos_biases = pos_biases.dense()
+                    structured = isinstance(pos_biases, SlidingBias)
                 if structured:
                     vol = sp_fused_agg_corr_mt(
                         sp_ctx.mesh, q, k, pos_biases.biases,

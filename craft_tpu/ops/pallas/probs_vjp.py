@@ -88,8 +88,15 @@ def _pallas_probs_bwd(q, k, p, g, clip_val, io_dtype, interpret, tq=128):
     BM, U1, md = qf.shape
     U2 = kf.shape[1]
     scale = 1.0 / math.sqrt(md)
-    U1p = ((U1 + tq - 1) // tq) * tq
     U2p = ((U2 + 127) // 128) * 128
+    # VMEM guard: the kernel holds ~5 f32 [tq, U2p] temporaries plus the f32
+    # dlsum stripe and three io_dtype blocks; at things/sintel training
+    # crops (U2p ~4480-4608) a tq=128 stripe approaches the 16 MB budget.
+    # Shrink the q tile so the working set stays well under it (tq stays a
+    # multiple of 32 for f32/bf16 sublane tiling).
+    if tq * U2p > 128 * 3072:
+        tq = max(32, (128 * 3072 // U2p) // 32 * 32)
+    U1p = ((U1 + tq - 1) // tq) * tq
 
     qp = _pad_to(qf, U1p, 1).astype(io_dtype)
     ktp = jnp.swapaxes(_pad_to(kf, U2p, 1).astype(io_dtype), 1, 2)

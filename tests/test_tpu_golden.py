@@ -45,7 +45,15 @@ def test_compiled_kernels_match_oracle_on_tpu():
     os.makedirs(os.path.dirname(NPZ), exist_ok=True)
     if not os.path.exists(NPZ):
         # Build the oracle snapshot on CPU first (needs torch + reference);
-        # the subsequent hardware run only loads it.
+        # the subsequent hardware run only loads it.  On a TPU host without
+        # torch or /root/reference, 'oracle unavailable' must read as a
+        # skip, not a kernel regression.
+        try:
+            import torch  # noqa: F401
+        except ImportError:
+            pytest.skip("oracle npz absent and torch unavailable to build it")
+        if not os.path.isdir("/root/reference"):
+            pytest.skip("oracle npz absent and /root/reference not present")
         build = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "verify_tpu.py"),
              "--npz", NPZ, "--assert"], env=_clean_env(),
