@@ -67,9 +67,20 @@ def _fused_norm_conditions(cfg: "SETransSiteConfig", H8: int, W8: int,
     check in CrossAttFeatTrans, so the condition sets are one set."""
     from craft_tpu.ops.pallas.mode_attention import _fused_norm_tiles
     from craft_tpu.parallel.sp import sp_context
+    sp_ctx = sp_context()
+    if sp_ctx is None:
+        rows_ok = True
+        tiles_ok = _fused_norm_tiles(H8, W8) is not None
+    else:
+        # Sequence-parallel: the cross-shard variant (pmax'd clamp
+        # predicate + psum'd moments, sp_fused_agg_corr_norm_mt) needs the
+        # row grid to divide the mesh axis and the local shard to tile.
+        n_sp = sp_ctx.mesh.shape[sp_ctx.axis]
+        rows_ok = H8 % n_sp == 0
+        tiles_ok = rows_ok and _fused_norm_tiles(
+            H8, W8, h8_q=H8 // n_sp) is not None
     return [
-        ("not sequence-parallel (the fused global-norm stats are "
-         "single-pass, not cross-shard)", sp_context() is None),
+        ("token rows divide the sequence-parallel mesh axis", rows_ok),
         ("deterministic (inference only)", deterministic),
         ("out_attn_scores_only site", cfg.out_attn_scores_only),
         ("multi-mode (num_modes > 1)", cfg.num_modes > 1),
@@ -77,8 +88,7 @@ def _fused_norm_conditions(cfg: "SETransSiteConfig", H8: int, W8: int,
          cfg.pos_code_type == "bias"),
         ("use_pallas enabled for this backend, no attention_mask",
          _pallas_allowed(cfg, attention_mask)),
-        (f"divisor-exact Mosaic tiling for grid ({H8}, {W8})",
-         _fused_norm_tiles(H8, W8) is not None),
+        (f"divisor-exact Mosaic tiling for grid ({H8}, {W8})", tiles_ok),
     ]
 
 
@@ -433,8 +443,14 @@ class CrossAttFeatTrans(nn.Module):
                          # --attn_diag: the clamp telemetry (reference
                          # setrans.py:520-536 prints) sows from the XLA
                          # scores path; route this site there too when the
-                         # diagnostics collection is being collected.
-                         and not self.is_mutable_collection("diagnostics"))
+                         # diagnostics collection is being collected.  NOT
+                         # during init: flax init leaves every collection
+                         # except 'intermediates' mutable, so without the
+                         # is_initializing() exemption init would take the
+                         # XLA branch and hand the prenormed caller a 4-D
+                         # score tensor (pyramid_from_level0 crash).
+                         and not (self.is_mutable_collection("diagnostics")
+                                  and not self.is_initializing()))
         if scores_pallas and cfg.out_attn_scores_only and M > 1:
             from craft_tpu.ops.pallas.mode_attention import (
                 fused_agg_corr, fused_agg_corr_norm_mt, scores_global_max)
@@ -458,6 +474,15 @@ class CrossAttFeatTrans(nn.Module):
                         "fused_norm_dtype was requested but the fused-branch "
                         f"conditions failed: {'; '.join(bad)}. Callers must "
                         "gate on fused_norm_available().")
+                if sp_ctx is not None:
+                    from craft_tpu.parallel.sequence_parallel import (
+                        sp_fused_agg_corr_norm_mt)
+                    return sp_fused_agg_corr_norm_mt(
+                        sp_ctx.mesh, q, k, pos_biases.biases,
+                        (pos_biases.H, pos_biases.W), cfg.attn_clip,
+                        cfg.pos_code_weight, agg_w, agg_b,
+                        axis=sp_ctx.axis, out_dtype=fused_norm_dtype,
+                        interpret=interp, io_dtype=iodt)
                 vol, _ = fused_agg_corr_norm_mt(
                     q, k, pos_biases.biases, (pos_biases.H, pos_biases.W),
                     cfg.attn_clip, cfg.pos_code_weight, agg_w, agg_b,

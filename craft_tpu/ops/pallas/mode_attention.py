@@ -541,8 +541,8 @@ def _agg_modes(cs, clip_val, bias, agg_w, agg_b):
 
 
 def _corr_norm_write_kernel(q_ref, kt_ref, m_ref, scal_ref, stats_ref,
-                            out_ref, *, scale, num_modes, rq, rk, w8, R,
-                            eps):
+                            row0_ref, out_ref, *, scale, num_modes, rq, rk,
+                            w8, R, eps):
     it = pl.program_id(1)
     kt = pl.program_id(2)
     attn_clip = scal_ref[0]
@@ -561,32 +561,86 @@ def _corr_norm_write_kernel(q_ref, kt_ref, m_ref, scal_ref, stats_ref,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         cs.append(c)
-    bias = pos_w * _bias_tile_from_mtable(m_ref, it * rq, kt * rk, rq, rk,
-                                          w8, R)
+    # row0_ref: global W8-row offset of this shard's first query row
+    # (sequence parallelism); 0 for the full volume.
+    bias = pos_w * _bias_tile_from_mtable(m_ref, row0_ref[0] + it * rq,
+                                          kt * rk, rq, rk, w8, R)
     vol = _agg_modes(cs, clip_val, bias, agg_w, agg_b)
     out_ref[0] = ((vol - mean) * jax.lax.rsqrt(var + eps)).astype(
         out_ref.dtype)
 
 
-def _fused_norm_tiles(H8: int, W8: int):
-    """Largest (rq, rk) divisors of H8 with Mosaic (8, 128) alignment and a
+def _corr_sums_kernel(q_ref, kt_ref, m_ref, scal_ref, gmax_ref, row0_ref,
+                      out_ref, acc_ref, *, scale, num_modes, rq, rk, w8, R,
+                      n_elems):
+    # Sequence-parallel stats half: the clamp predicate (GLOBAL gmax, from a
+    # pmax across shards) arrives as an input instead of a phase-0 sweep;
+    # per-sample sum / sum-of-squares accumulate over this shard's rows only
+    # and are divided by the GLOBAL element count so a psum over shards
+    # yields the exact mean / E[x^2] of the full volume.
+    it = pl.program_id(1)
+    kt = pl.program_id(2)
+    ni = pl.num_programs(1)
+    nj = pl.num_programs(2)
+
+    @pl.when((it == 0) & (kt == 0))
+    def _():
+        acc_ref[0, 0] = 0.0      # per-sample local sum
+        acc_ref[0, 1] = 0.0      # per-sample local sum of squares
+
+    attn_clip = scal_ref[0]
+    pos_w = scal_ref[1]
+    agg_w = scal_ref[2]
+    agg_b = scal_ref[3]
+    gmax = gmax_ref[0]
+    clip_val = jnp.where(gmax > attn_clip, attn_clip, 1e30)
+
+    cs = []
+    for mode in range(num_modes):
+        c = jax.lax.dot_general(
+            q_ref[0, mode], kt_ref[0, mode],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        cs.append(c)
+    bias = pos_w * _bias_tile_from_mtable(m_ref, row0_ref[0] + it * rq,
+                                          kt * rk, rq, rk, w8, R)
+    vol = _agg_modes(cs, clip_val, bias, agg_w, agg_b)
+    acc_ref[0, 0] += jnp.sum(vol)
+    acc_ref[0, 1] += jnp.sum(vol * vol)
+
+    @pl.when((it == ni - 1) & (kt == nj - 1))
+    def _():
+        out_ref[0, 0, 0] = gmax
+        out_ref[0, 0, 1] = acc_ref[0, 0] / n_elems
+        out_ref[0, 0, 2] = acc_ref[0, 1] / n_elems
+        out_ref[0, 0, 3] = 0.0
+
+
+def _fused_norm_tiles(H8: int, W8: int, h8_q=None):
+    """Largest (rq, rk) divisor pair with Mosaic (8, 128) alignment and a
     VMEM budget of ~12 live f32 tile buffers (the _agg_modes chain); None
-    when no exact tiling exists (caller falls back to the unfused path)."""
+    when no exact tiling exists (caller falls back to the unfused path).
+
+    rk tiles the key axis (U2 = H8*W8 rows); rq tiles the query axis, whose
+    row count is h8_q (a sequence-parallel shard's local rows) or H8.
+    rk candidates are tried in descending order so a too-greedy tk never
+    forecloses a feasible rq (e.g. W8=256: rk=3 leaves no rq, rk=2 does)."""
     if W8 % 128 != 0:
         return None
-    divs = [d for d in range(1, H8 + 1) if H8 % d == 0]
+    h8_q = H8 if h8_q is None else h8_q
+    kdivs = [d for d in range(1, H8 + 1) if H8 % d == 0]
+    qdivs = [d for d in range(1, h8_q + 1) if h8_q % d == 0]
     # Wide-k split (tq=128, tk=640 at Sintel) measured ~15% faster than the
     # rq-major split, matching the probs-kernel tuning.
-    rk = max((d for d in divs if d * W8 <= 768 and (d * W8) % 128 == 0),
-             default=None)
-    if rk is None:
-        return None
-    tq_cap = min(256, 175_000 // (rk * W8))
-    rq = max((d for d in divs if d * W8 <= tq_cap and (d * W8) % 8 == 0),
-             default=None)
-    if rq is None:
-        return None
-    return rq, rk
+    for rk in sorted((d for d in kdivs
+                      if d * W8 <= 768 and (d * W8) % 128 == 0),
+                     reverse=True):
+        tq_cap = min(256, 175_000 // (rk * W8))
+        rq = max((d for d in qdivs
+                  if d * W8 <= tq_cap and (d * W8) % 8 == 0), default=None)
+        if rq is not None:
+            return rq, rk
+    return None
 
 
 def fused_agg_corr_norm_mt(q, k, biases, grid_hw, attn_clip, pos_w, agg_w,
@@ -649,13 +703,106 @@ def fused_agg_corr_norm_mt(q, k, biases, grid_hw, attn_clip, pos_w, agg_w,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 4), lambda b, i, j: (b, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, tq, tk), lambda b, i, j: (b, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, U1, U2), out_dtype),
         interpret=interpret,
-    )(qp, ktp, mtable, scal, stats)
+    )(qp, ktp, mtable, scal, stats, jnp.zeros((1,), jnp.int32))
     return vol, stats
+
+
+def _fused_norm_sharded_prep(q, k, biases, grid_hw, io_dtype):
+    """Shared prep for the sequence-parallel fused-norm halves: q holds this
+    shard's rows only (U1 = h8_q * W8 <= U2 = H8 * W8)."""
+    assert q.ndim == 4
+    B, M, U1, md = q.shape
+    H8, W8 = grid_hw
+    U2 = k.shape[2]
+    assert U2 == H8 * W8 and U1 <= U2 and U1 % W8 == 0
+    rq, rk = _fused_norm_tiles(H8, W8, h8_q=U1 // W8)
+    tq, tk = rq * W8, rk * W8
+    qp = q.astype(io_dtype)
+    ktp = jnp.swapaxes(k.astype(io_dtype), 2, 3)
+    mtable = make_rowbias_table(biases, W8)
+    R = (biases.shape[0] - 1) // 2
+    return (B, M, U1, U2, md, W8, R, rq, rk, tq, tk, qp, ktp, mtable)
+
+
+def corr_norm_sums_mt(q, k, biases, grid_hw, gmax, attn_clip, pos_w, agg_w,
+                      agg_b, q_row0=None, interpret=False,
+                      io_dtype=jnp.float32):
+    """Stats half of fused_agg_corr_norm_mt for a sequence-parallel row
+    shard: q [B, M, U1_local, md] (whole W8 rows starting at global W8-row
+    q_row0), k [B, M, U2, md] replicated, gmax the GLOBAL raw-score max
+    (pmax of each shard's exact-tiled local max).  Returns [B, 1, 4] fp32
+    (gmax, local_sum/N, local_sumsq/N, 0) with N the GLOBAL element count —
+    psum slots 1-2 across shards for the exact mean / E[x^2]."""
+    (B, M, U1, U2, md, W8, R, rq, rk, tq, tk, qp, ktp,
+     mtable) = _fused_norm_sharded_prep(q, k, biases, grid_hw, io_dtype)
+    scale = 1.0 / (md ** 0.5)
+    scal = jnp.asarray([attn_clip, pos_w, agg_w, agg_b], jnp.float32)
+    row0 = jnp.asarray([0 if q_row0 is None else q_row0], jnp.int32)
+    gmax_arr = jnp.reshape(gmax, (1,)).astype(jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_corr_sums_kernel, scale=scale, num_modes=M,
+                          rq=rq, rk=rk, w8=W8, R=R,
+                          n_elems=float(U2) * float(U2)),
+        grid=(B, U1 // tq, U2 // tk),
+        in_specs=[
+            pl.BlockSpec((1, M, tq, md), lambda b, i, j: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, md, tk), lambda b, i, j: (b, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * R + 1, W8, W8), lambda b, i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 4), lambda b, i, j: (b, 0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1, 4), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((1, 2), jnp.float32)],
+        interpret=interpret,
+    )(qp, ktp, mtable, scal, gmax_arr, row0)
+
+
+def corr_norm_write_mt(q, k, biases, grid_hw, stats, attn_clip, pos_w,
+                       agg_w, agg_b, q_row0=None, out_dtype=jnp.bfloat16,
+                       eps: float = 1e-12, interpret=False,
+                       io_dtype=jnp.float32):
+    """Write half of fused_agg_corr_norm_mt for a sequence-parallel row
+    shard: normalizes this shard's rows of the clamped aggregated volume
+    with the cross-shard stats [B, 1, 4] (gmax, mean, E[x^2], 0) and writes
+    them once in out_dtype.  Returns [B, U1_local, U2]."""
+    (B, M, U1, U2, md, W8, R, rq, rk, tq, tk, qp, ktp,
+     mtable) = _fused_norm_sharded_prep(q, k, biases, grid_hw, io_dtype)
+    scale = 1.0 / (md ** 0.5)
+    scal = jnp.asarray([attn_clip, pos_w, agg_w, agg_b], jnp.float32)
+    row0 = jnp.asarray([0 if q_row0 is None else q_row0], jnp.int32)
+    return pl.pallas_call(
+        functools.partial(_corr_norm_write_kernel, scale=scale, num_modes=M,
+                          rq=rq, rk=rk, w8=W8, R=R, eps=eps),
+        grid=(B, U1 // tq, U2 // tk),
+        in_specs=[
+            pl.BlockSpec((1, M, tq, md), lambda b, i, j: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, md, tk), lambda b, i, j: (b, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * R + 1, W8, W8), lambda b, i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 4), lambda b, i, j: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, tk), lambda b, i, j: (b, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, U1, U2), out_dtype),
+        interpret=interpret,
+    )(qp, ktp, mtable, scal, stats.astype(jnp.float32), row0)
 
 
 # ---------------------------------------------------------------------------

@@ -6,6 +6,8 @@ import dataclasses
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: interpret-mode kernels / full models (run with -m slow)
+
 
 def test_craft_pallas_path_matches_xla(rng):
     import jax
