@@ -7,6 +7,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
+pytestmark = pytest.mark.slow  # heavy tier: interpret-mode kernels / full models (run with -m slow)
+
 
 def test_gen_flow_demo(tmp_path, rng):
     import jax

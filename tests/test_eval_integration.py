@@ -8,6 +8,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
+pytestmark = pytest.mark.slow  # heavy tier: interpret-mode kernels / full models (run with -m slow)
+
 
 def _write_sintel(root, rng, scenes=("alley_1", "ambush_2"), frames=3,
                   H=64, W=128):

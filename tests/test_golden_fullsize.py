@@ -18,8 +18,12 @@ import pytest
 
 from reference_oracle import build_reference_model, reference_available
 
-pytestmark = pytest.mark.skipif(not reference_available(),
-                                reason="torch reference not available")
+pytestmark = [
+    pytest.mark.skipif(not reference_available(),
+                       reason="torch reference not available"),
+    # heavy tier: 440x1024 full CRAFT vs the live torch oracle
+    pytest.mark.slow,
+]
 
 
 def test_craft_sintel_size_fullprec_parity():

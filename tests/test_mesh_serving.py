@@ -6,6 +6,8 @@ train.py:179-183)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: interpret-mode kernels / full models (run with -m slow)
+
 
 def test_sharded_inference_matches_single_device(rng):
     import jax

@@ -5,6 +5,8 @@ VERDICT r1 #3: batch in the Pallas grid instead of jax.vmap per sample."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: interpret-mode kernels / full models (run with -m slow)
+
 
 @pytest.fixture
 def rng():

@@ -7,6 +7,8 @@ conditional predicate)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: interpret-mode kernels / full models (run with -m slow)
+
 
 def _ref_probs(q, k, bias_dense, clip_val, pos_w):
     import jax

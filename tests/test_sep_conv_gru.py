@@ -4,6 +4,8 @@ and gradient parity for both directional passes."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: interpret-mode kernels / full models (run with -m slow)
+
 
 @pytest.fixture
 def rng():

@@ -7,6 +7,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
+pytestmark = pytest.mark.slow  # heavy tier: interpret-mode kernels / full models (run with -m slow)
+
 
 def _write_chairs(root, rng, n=6, H=80, W=96):
     from craft_tpu.data.frame_utils import write_flo

@@ -14,6 +14,7 @@ def _tiny_batch(rng, B=2, H=64, W=64):
     }
 
 
+@pytest.mark.slow
 def test_train_step_loss_decreases(rng):
     import jax
 
@@ -35,6 +36,7 @@ def test_train_step_loss_decreases(rng):
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_batch_stats_update_and_freeze(rng):
     import jax
 
@@ -136,6 +138,7 @@ def test_host_schedule_matches_device_schedule():
                                rtol=2e-4, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_loadsched_restores_schedule_position(tmp_path, rng):
     """--loadsched without --loadopt: fresh optimizer moments, but the LR
     schedule resumes from the checkpoint step (reference train.py:164-172)."""
@@ -175,6 +178,7 @@ def test_loadsched_restores_schedule_position(tmp_path, rng):
     assert int(plain.step) == 0
 
 
+@pytest.mark.slow
 def test_kill_resume_continuity(tmp_path, rng):
     """Crash/resume mid-schedule reproduces the uninterrupted run exactly:
     4 straight steps == (2 steps -> checkpoint -> restore with
@@ -244,6 +248,7 @@ def test_f2_half_rejected():
         model_config_from_args(args)
 
 
+@pytest.mark.slow
 def test_attn_diag_metrics(rng):
     """--attn_diag parity with the reference's periodic attention-health
     prints (setrans.py:520-536): the diag-enabled step must fold max_attn /

@@ -2,6 +2,9 @@
 loss decreases, dropout rngs work."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier: interpret-mode kernels / full models (run with -m slow)
 
 
 def test_craft_train_step(rng):
