@@ -15,6 +15,51 @@ from flax import linen as nn
 from craft_tpu.nn.layers import Conv, kaiming_normal_fanout_init, make_norm
 
 
+def _conv_bn_folded(conv: Conv, bn, x):
+    """Conv + eval-mode BatchNorm with the static per-channel affine FOLDED
+    into the conv weights (reference eval/freeze_bn runs BN on running
+    averages, extractor.py:16-38 + network.py freeze_bn — a constant
+    scale/shift per channel).  Applying it as a separate elementwise op
+    breaks the conv->conv chain and makes XLA relayout-copy the activation
+    between every cnet conv pair (the copy.9xx family in the round-5 HLO
+    dump); folding deletes the break:  W' = W * g,  b' = (b - mean) * g +
+    beta,  g = gamma / sqrt(var + eps).  Exact up to fp reassociation.
+
+    Both modules are still created (dummy calls, dead under jit) so the
+    parameter/batch_stats trees are bit-identical to the unfolded path —
+    checkpoints are interchangeable."""
+    import jax
+
+    dtype = conv.dtype
+    cin = x.shape[-1]
+    conv(jnp.zeros((1, 1, 1, cin), dtype))
+    bn(jnp.zeros((1, 1, 1, conv.features), dtype))
+    p = conv.variables["params"]["Conv_0"]
+    kernel, bias = p["kernel"], p.get("bias", None)
+    gamma = bn.variables["params"]["scale"]
+    beta = bn.variables["params"]["bias"]
+    mean = bn.variables["batch_stats"]["mean"]
+    var = bn.variables["batch_stats"]["var"]
+
+    g = gamma * jax.lax.rsqrt(var + bn.epsilon)          # [C_out] fp32
+    kernel_f = (kernel * g[None, None, None, :]).astype(dtype)
+    b0 = bias if bias is not None else 0.0
+    bias_f = ((b0 - mean) * g + beta).astype(dtype)
+
+    kh, kw = conv.kernel
+    if conv.padding == "SAME_TORCH":
+        padding = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+    elif conv.padding == "VALID":
+        padding = ((0, 0), (0, 0))
+    else:
+        padding = conv.padding
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), kernel_f, window_strides=tuple(conv.stride),
+        padding=padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=conv.groups)
+    return y + bias_f
+
+
 class ResidualBlock(nn.Module):
     """Two 3x3 convs with norm + ReLU and an optional strided 1x1 downsample
     (reference extractor.py:6-64)."""
@@ -27,20 +72,25 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = Conv(self.planes, (3, 3), (self.stride, self.stride), dtype=self.dtype,
-                 kernel_init=kaiming_normal_fanout_init, name="conv1")(x)
-        y = make_norm(self.norm_fn, self.planes, self.train, self.dtype)(y)
+        fold = self.norm_fn == "batch" and not self.train
+
+        def conv_norm(h, kernel, stride, name):
+            conv = Conv(self.planes, kernel, stride, dtype=self.dtype,
+                        kernel_init=kaiming_normal_fanout_init, name=name)
+            norm = make_norm(self.norm_fn, self.planes, self.train,
+                             self.dtype)
+            if fold:
+                return _conv_bn_folded(conv, norm, h)
+            return norm(conv(h))
+
+        y = conv_norm(x, (3, 3), (self.stride, self.stride), "conv1")
         y = nn.relu(y)
-        y = Conv(self.planes, (3, 3), dtype=self.dtype,
-                 kernel_init=kaiming_normal_fanout_init, name="conv2")(y)
-        y = make_norm(self.norm_fn, self.planes, self.train, self.dtype)(y)
+        y = conv_norm(y, (3, 3), (1, 1), "conv2")
         y = nn.relu(y)
 
         if self.stride != 1:
-            x = Conv(self.planes, (1, 1), (self.stride, self.stride),
-                     dtype=self.dtype, kernel_init=kaiming_normal_fanout_init,
-                     name="downsample")(x)
-            x = make_norm(self.norm_fn, self.planes, self.train, self.dtype)(x)
+            x = conv_norm(x, (1, 1), (self.stride, self.stride),
+                          "downsample")
 
         return nn.relu(x + y)
 
@@ -94,11 +144,15 @@ class BasicEncoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = x.astype(self.dtype)
-        x = Conv(64, (7, 7), (2, 2), dtype=self.dtype,
-                 kernel_init=kaiming_normal_fanout_init, name="conv1")(x)
+        conv1 = Conv(64, (7, 7), (2, 2), dtype=self.dtype,
+                     kernel_init=kaiming_normal_fanout_init, name="conv1")
         # Stem norm: 'group' here means GroupNorm(8 groups) (extractor.py:129-130).
         stem_norm = "group8" if self.norm_fn == "group" else self.norm_fn
-        x = make_norm(stem_norm, 64, self.train, self.dtype)(x)
+        norm1 = make_norm(stem_norm, 64, self.train, self.dtype)
+        if stem_norm == "batch" and not self.train:
+            x = _conv_bn_folded(conv1, norm1, x)
+        else:
+            x = norm1(conv1(x))
         x = nn.relu(x)
 
         for i, (dim, stride) in enumerate([(64, 1), (96, 2), (128, 2)]):
