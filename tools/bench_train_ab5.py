@@ -78,4 +78,29 @@ for m in MODES:
                  "samples_per_s": round(B / (med / 1000), 2),
                  "iqr_ms": [round(float(q1), 1), round(float(q3), 1)],
                  "trials_ms": [round(float(x), 1) for x in arr]}
+
+# Device time for the winning arm: the axon tunnel adds ~2x dispatch gap
+# to wall time (r4 probs_vjp note: 439 ms device vs 918 ms wall), so the
+# roofline argument needs the on-chip number too.  One traced window of 3
+# steps, parsed for total + top op-family self-time.
+if "--profile" in sys.argv:
+    import jax.profiler
+
+    sys.path.insert(0, "/root/repo/tools")
+    import parse_trace as ptr
+
+    tdir = "/tmp/craft_tpu_train_ab5_trace"
+    m = MODES[0]
+    jax.profiler.start_trace(tdir)
+    for _ in range(3):
+        states[m], metrics = steps[m](states[m], batch, key)
+    _ = float(np.asarray(metrics["loss"]))
+    jax.profiler.stop_trace()
+    fams = ptr.top_op_families(tdir, n_runs=3)
+    total_ms = sum(v for _, v in fams)
+    result["device_profile"] = {
+        "arm": m,
+        "device_ms_per_step": round(total_ms, 1),
+        "top_families_ms": [[k, round(v, 2)] for k, v in fams[:12]],
+    }
 print(json.dumps(result, indent=1))
