@@ -14,6 +14,11 @@ from flax import linen as nn
 
 from craft_tpu.nn.layers import Conv, kaiming_normal_fanout_init, make_norm
 
+# Reference encoder widths (extractor.py:124-196).  Module-level so
+# experiments (tools/bench_norm_cost.py) can patch them.
+STEM_DIM = 64
+STAGE_DIMS = ((64, 1), (96, 2), (128, 2))
+
 
 def _conv_bn_folded(conv: Conv, bn, x):
     """Conv + eval-mode BatchNorm with the static per-channel affine FOLDED
@@ -144,18 +149,18 @@ class BasicEncoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = x.astype(self.dtype)
-        conv1 = Conv(64, (7, 7), (2, 2), dtype=self.dtype,
+        conv1 = Conv(STEM_DIM, (7, 7), (2, 2), dtype=self.dtype,
                      kernel_init=kaiming_normal_fanout_init, name="conv1")
         # Stem norm: 'group' here means GroupNorm(8 groups) (extractor.py:129-130).
         stem_norm = "group8" if self.norm_fn == "group" else self.norm_fn
-        norm1 = make_norm(stem_norm, 64, self.train, self.dtype)
+        norm1 = make_norm(stem_norm, STEM_DIM, self.train, self.dtype)
         if stem_norm == "batch" and not self.train:
             x = _conv_bn_folded(conv1, norm1, x)
         else:
             x = norm1(conv1(x))
         x = nn.relu(x)
 
-        for i, (dim, stride) in enumerate([(64, 1), (96, 2), (128, 2)]):
+        for i, (dim, stride) in enumerate(STAGE_DIMS):
             x = ResidualBlock(dim, self.norm_fn, stride, self.dtype, self.train,
                               name=f"layer{i + 1}_0")(x)
             x = ResidualBlock(dim, self.norm_fn, 1, self.dtype, self.train,

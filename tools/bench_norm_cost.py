@@ -36,6 +36,16 @@ VARIANTS = {
     "fnet_none": {"instance": "none"},
     "cnet_none": {"batch": "none"},
     "both_none": {"instance": "none", "batch": "none"},
+    "fnet_mean": {"instance": "instance_mean"},  # plain-reduce stats
+    "fnet_dot2": {"instance": "instance_dot2"},  # no-reshape dot stats
+    # constant per-tensor affine: keeps the elementwise chain between convs
+    # but removes the stats reduction — separates "reductions cost 6 ms"
+    # from "any conv->elementwise->conv break costs 6 ms".
+    "fnet_constaffine": {"instance": "constaffine"},
+    # 128-ch stem + stage1 (SPEED PROBE, wrong param shapes vs reference):
+    # tests whether full-lane channel counts flip XLA out of the blocked
+    # conv layouts whose stats-reduce relayouts cost ~6 ms/frame.
+    "wide128": {},
 }
 name = sys.argv[1] if len(sys.argv) > 1 else "base"
 remap = VARIANTS[name]
@@ -44,11 +54,25 @@ _orig_make_norm = enc.make_norm
 
 
 def patched(norm_fn, features, train, dtype=jnp.float32):
-    return _orig_make_norm(remap.get(norm_fn, norm_fn), features, train,
-                           dtype)
+    norm_fn = remap.get(norm_fn, norm_fn)
+    if norm_fn == "constaffine":
+        return lambda x: (x - jnp.asarray(0.1, x.dtype)) * \
+            jnp.asarray(1.1, x.dtype)
+    if norm_fn.startswith("instance_"):
+        from craft_tpu.nn.layers import InstanceNorm
+        return InstanceNorm(dtype=dtype, stats=norm_fn[len("instance_"):])
+    return _orig_make_norm(norm_fn, features, train, dtype)
 
 
 enc.make_norm = patched
+if name == "wide128":
+    enc.STEM_DIM = 128
+    enc.STAGE_DIMS = ((128, 1), (96, 2), (128, 2))
+if "batch" in remap:
+    # The BN->conv fold keys off norm_fn == 'batch' (still true under the
+    # remap) and would hand the fold helper the 'none' identity lambda;
+    # bypass folding so the remapped norm applies as-is.
+    enc._conv_bn_folded = lambda conv, bn, x: bn(conv(x))
 
 H, W = 436, 1024
 rng = np.random.RandomState(0)
