@@ -94,6 +94,17 @@ def _pallas_probs_bwd(q, k, p, g, clip_val, io_dtype, interpret, tq=128):
     # crops (U2p ~4480-4608) a tq=128 stripe approaches the 16 MB budget.
     # Shrink the q tile so the working set stays well under it (tq stays a
     # multiple of 32 for f32/bf16 sublane tiling).
+    #
+    # Why shrink tq instead of tiling the k axis: the softmax-VJP row term
+    # needs the full row before dl, so a k-tiled kernel is two phases over
+    # k per q tile and reads the [BM, U1, U2] probs/grads TWICE from HBM —
+    # doubling the dominant traffic to save nothing (the elementwise work
+    # is VPU/lane-bound, and a 64- or 32-row stripe keeps lanes full; only
+    # the c-recompute matmul narrows, a minor term).  tq=64 covers the
+    # things/sintel stages (U2p<=4608); tq=32 covers up to U2p~12k, beyond
+    # any reference training crop.  Measured at the things config
+    # (400x720, batch 3): 763.6 ms/step wall, no VMEM overflow
+    # (BENCH_NOTES round 5).
     if tq * U2p > 128 * 3072:
         tq = max(32, (128 * 3072 // U2p) // 32 * 32)
     U1p = ((U1 + tq - 1) // tq) * tq
